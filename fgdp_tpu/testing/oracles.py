@@ -1,0 +1,179 @@
+"""Naive reference implementations used as test oracles.
+
+The reference's effective spec is bit-equality with known tools (SURVEY §4);
+these oracles encode the same semantics in transparent O(n^2)-ish Python so
+every device kernel has an independently-written ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import dna
+
+
+# ---------- exact search ----------
+
+def text_with_rc(ref_codes: np.ndarray) -> bytes:
+    """Index text X = T + revcomp(T) as bytes of codes (for .find)."""
+    return np.concatenate([ref_codes, dna.revcomp(ref_codes)]).tobytes()
+
+
+def find_all(text: bytes, pat: bytes) -> list:
+    """All (possibly overlapping) occurrence positions of pat in text."""
+    out, i = [], text.find(pat)
+    while i != -1:
+        out.append(i)
+        i = text.find(pat, i + 1)
+    return out
+
+
+def count_occ(text: bytes, pat: bytes) -> int:
+    return len(find_all(text, pat))
+
+
+# ---------- SMEMs ----------
+
+def smems_brute(text: bytes, query: np.ndarray, min_seed_len: int = 1,
+                min_intv: int = 1, max_intv: int = np.inf) -> set:
+    """Brute-force SMEM set of `query` against `text`.
+
+    A match [s, e) (occurring with multiplicity >= min_intv) is an SMEM if
+    no longer match [s', e') with s' <= s, e' >= e, (s',e') != (s,e) also
+    occurs with multiplicity >= min_intv. Returns {(s, e, n_occ)}.
+    `max_intv`: additionally require n_occ <= max_intv (K3 semantics uses
+    a different rule; this flag is for interval-capped variants).
+    """
+    q = query.tobytes()
+    L = len(q)
+    # longest[s] = longest match starting at s with occ >= min_intv
+    longest = np.zeros(L, dtype=int)
+    occ_of_longest = np.zeros(L, dtype=int)
+    for s in range(L):
+        e = s
+        last_occ = 0
+        while e < L:
+            c = count_occ(text, q[s:e + 1])
+            if c < min_intv:
+                break
+            last_occ = c
+            e += 1
+        longest[s] = e - s
+        occ_of_longest[s] = last_occ
+    out = set()
+    for s in range(L):
+        if longest[s] == 0:
+            continue
+        e = s + longest[s]
+        contained = any(
+            s2 <= s and s2 + longest[s2] >= e and (s2, s2 + longest[s2]) != (s, e)
+            for s2 in range(L)
+        )
+        if not contained and longest[s] >= min_seed_len and occ_of_longest[s] <= max_intv:
+            out.add((s, e, int(occ_of_longest[s])))
+    return out
+
+
+# ---------- Smith-Waterman extension (ksw_extend semantics) ----------
+
+def sw_extend(query: np.ndarray, target: np.ndarray, o_del, e_del, o_ins, e_ins,
+              a=1, b=4, w=100, zdrop=100, h0=0, end_bonus=0):
+    """Scalar port of bwa's seed-extension DP semantics (the contract the
+    reference's BSW kernels implement, bwa-mem2-lcp/ext/TAL/src/alignment/
+    BSW/bandedSWA.cpp scalar path).
+
+    query/target: codes (0..4). Returns dict(score, qle, tle, gtle, gscore,
+    max_off). Insertions consume query (i dim), deletions consume target.
+    """
+    qlen, tlen = len(query), len(target)
+    if qlen == 0 or tlen == 0:
+        return dict(score=h0, qle=0, tle=0, gtle=0, gscore=-1, max_off=0)
+
+    def score(x, y):
+        if x == 4 or y == 4:
+            return -1
+        return a if x == y else -b
+
+    NEG = -0x40000000
+    # H[i][j]: best score aligning query[0:i] to target[0:j], started at h0
+    H = np.full((qlen + 1, tlen + 1), NEG, dtype=np.int64)
+    E = np.full((qlen + 1, tlen + 1), NEG, dtype=np.int64)  # gap in query (del)
+    F = np.full((qlen + 1, tlen + 1), NEG, dtype=np.int64)  # gap in target (ins)
+    H[0][0] = h0
+    for j in range(1, tlen + 1):
+        v = h0 - o_del - j * e_del
+        H[0][j] = v if v > 0 else NEG
+    for i in range(1, qlen + 1):
+        v = h0 - o_ins - i * e_ins
+        H[i][0] = v if v > 0 else NEG
+
+    best = h0
+    qle = tle = 0
+    gscore, gtle = -1, -1
+    max_off = 0
+    max_i = max_j = 0
+    for i in range(1, qlen + 1):
+        for j in range(1, tlen + 1):
+            if abs((i - 1) - (j - 1)) > w:
+                continue
+            e = max(E[i][j - 1] - e_del, H[i][j - 1] - o_del - e_del)
+            f = max(F[i - 1][j] - e_ins, H[i - 1][j] - o_ins - e_ins)
+            m = H[i - 1][j - 1] + score(query[i - 1], target[j - 1])
+            h = max(m, e, f)
+            E[i][j], F[i][j] = e, f
+            H[i][j] = h
+            if h > best:
+                best, qle, tle = h, i, j
+                max_off = max(max_off, abs(i - j))
+                max_i, max_j = i, j
+        if H[i].max() == NEG:
+            pass
+        # global-ish score when the whole query is consumed
+    for j in range(1, tlen + 1):
+        if H[qlen][j] > gscore:
+            gscore, gtle = H[qlen][j], j
+    return dict(score=int(best), qle=int(qle), tle=int(tle),
+                gtle=int(gtle), gscore=int(gscore), max_off=int(max_off))
+
+
+# ---------- PairHMM forward (GATK semantics, log-space float64) ----------
+
+def pairhmm_loglik(hap: np.ndarray, read: np.ndarray, q: np.ndarray,
+                   i_qual: np.ndarray, d_qual: np.ndarray, c_qual: np.ndarray):
+    """log10 P(read | hap) per the GATK PairHMM recurrence (the contract of
+    the reference's trie/AVX kernels, deepmutect .../intel/pairhmm/
+    avx-pairhmm-template.h:204; constants Context.h).
+
+    Linear-space float64 with the INITIAL_CONSTANT scaling of the double
+    path (2^1020 is unnecessary here; we scale by 1/haplen directly).
+    """
+    R, H = len(read), len(hap)
+    ph2pr = 10.0 ** (-np.arange(128) / 10.0)
+
+    # transition probs per read base
+    def mm_prob(iq, dq):
+        s = 10 ** (-0.1 * iq) + 10 ** (-0.1 * dq)
+        return 1.0 - s
+
+    trans_mm = np.array([mm_prob(i_qual[i], d_qual[i]) for i in range(R)])
+    trans_mi = ph2pr[np.clip(i_qual, 0, 127)]
+    trans_md = ph2pr[np.clip(d_qual, 0, 127)]
+    trans_gg = ph2pr[np.clip(c_qual, 0, 127)]   # gap continuation
+
+    M = np.zeros((R + 1, H + 1))
+    X = np.zeros((R + 1, H + 1))   # insertion in read (consumes read)
+    Y = np.zeros((R + 1, H + 1))   # deletion (consumes hap)
+    init = 1.0 / H
+    Y[0, :] = init
+
+    for i in range(1, R + 1):
+        base_q = ph2pr[min(int(q[i - 1]), 127)]
+        for j in range(1, H + 1):
+            prior = (1.0 - base_q) if (read[i - 1] == hap[j - 1] or read[i - 1] == 4
+                                       or hap[j - 1] == 4) else base_q / 3.0
+            M[i, j] = prior * (trans_mm[i - 1] * M[i - 1, j - 1]
+                               + (1 - trans_gg[i - 1]) * (X[i - 1, j - 1] + Y[i - 1, j - 1]))
+            X[i, j] = trans_mi[i - 1] * M[i - 1, j] + trans_gg[i - 1] * X[i - 1, j]
+            Y[i, j] = trans_md[i - 1] * M[i, j - 1] + trans_gg[i - 1] * Y[i, j - 1]
+    final = M[R, :].sum() + X[R, :].sum()
+    return np.log10(final)

@@ -1,0 +1,24 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is unavailable in CI; sharding logic is validated on
+forced host devices (the driver's dryrun_multichip uses the same mechanism).
+Must set env before the first jax import anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
