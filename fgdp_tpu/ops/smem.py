@@ -1,0 +1,326 @@
+"""Batched SMEM seeding — SPMD state machines over whole read batches.
+
+The reference computes SMEMs one read at a time with data-dependent loops
+and early exits (FMI_search::getSMEMsOnePosOneThread /
+getSMEMsAllPosOneThread / bwtSeedStrategyAllPosOneThread, reference
+ext/TAL/src/FMI/FMI_search.cpp:1170-1488; driver mem_collect_smem
+src/bwamem.cpp:771-869). The TPU design runs the *same* per-read state
+machine simultaneously on every lane of a read batch under
+`lax.while_loop`, with active-lane masking; every step issues one batched
+FM-extension (two HBM checkpoint gathers per interval) for all lanes at
+once. Semantics are transcription-exact: tests compare against the scalar
+port in testing/oracles.py lane for lane.
+
+Seed output layout (fixed shape, per read): (start m, end n inclusive,
+SA-interval k, interval size s) + per-read count. Overflow beyond the
+buffer capacity is dropped and flagged (the reference's arrays are sized
+to worst case; ours trade capacity for static shape).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import fm as fmops
+from .fm import DeviceFMIndex
+
+NEG1 = jnp.int32(-1)
+
+
+class SeedBatch(NamedTuple):
+    """Fixed-shape per-read seed buffers."""
+
+    m: jax.Array        # int32[B, S] query start
+    n: jax.Array        # int32[B, S] query end (inclusive)
+    k: jax.Array        # int32[B, S] SA interval start
+    s: jax.Array        # int32[B, S] SA interval size
+    count: jax.Array    # int32[B]
+    overflow: jax.Array  # bool[B]
+
+
+def _empty_seeds(B, S):
+    z = jnp.zeros((B, S), jnp.int32)
+    return SeedBatch(m=z, n=z, k=z, s=z, count=jnp.zeros(B, jnp.int32),
+                     overflow=jnp.zeros(B, bool))
+
+
+def _append_seed(seeds: SeedBatch, mask, m, n, k, s):
+    """Masked per-lane append into the seed buffers."""
+    B, S = seeds.m.shape
+    bidx = jnp.arange(B)
+    slot = jnp.where(mask & (seeds.count < S), seeds.count, S)  # S -> dropped
+    return SeedBatch(
+        m=seeds.m.at[bidx, slot].set(m, mode="drop"),
+        n=seeds.n.at[bidx, slot].set(n, mode="drop"),
+        k=seeds.k.at[bidx, slot].set(k, mode="drop"),
+        s=seeds.s.at[bidx, slot].set(s, mode="drop"),
+        count=seeds.count + (mask & (seeds.count < S)).astype(jnp.int32),
+        overflow=seeds.overflow | (mask & (seeds.count >= S)),
+    )
+
+
+def _read_base(codes, j):
+    """codes[b, j_b] with out-of-range -> 4 (ambiguous sentinel)."""
+    B, L = codes.shape
+    jj = jnp.clip(j, 0, L - 1)
+    a = jnp.take_along_axis(codes, jj[:, None], axis=1)[:, 0].astype(jnp.int32)
+    return jnp.where((j >= 0) & (j < L), a, 4)
+
+
+# --------------------------------------------------------------------------
+# One-anchor SMEM pass (getSMEMsOnePosOneThread parity)
+# --------------------------------------------------------------------------
+
+def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
+                 min_seed_len: int, seeds: SeedBatch, prev_cap: int):
+    """Run one anchor pass for every active lane.
+
+    codes: int32[B, L]; lens, x, min_intv: int32[B]; active: bool[B].
+    Returns (seeds', next_x int32[B]).
+    """
+    B, L = codes.shape
+    P = prev_cap
+    bidx = jnp.arange(B)
+
+    a0 = _read_base(codes, x)
+    started = active & (a0 < 4) & (x < lens)
+    k0, l0, s0 = fmops.init_interval(fm, a0)
+
+    # ---- forward phase ----
+    pz = jnp.zeros((B, P), jnp.int32)
+    fwd0 = dict(
+        t=jnp.int32(0),
+        k=k0, l=l0, s=jnp.where(started, s0, 0), n=x,
+        num_prev=jnp.zeros(B, jnp.int32),
+        pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
+        next_x=x + 1,
+        alive=started,
+    )
+
+    def fwd_cond(st):
+        return jnp.any(st["alive"]) & (st["t"] < L)
+
+    def fwd_body(st):
+        j = x + 1 + st["t"]
+        in_range = st["alive"] & (j < lens)
+        a = _read_base(codes, j)
+        valid = a < 4
+        ext = in_range & valid
+        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
+        changed = ns != st["s"]
+        push = ext & changed
+        slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
+        pm = st["pm"].at[bidx, slot].set(x, mode="drop")
+        pn = st["pn"].at[bidx, slot].set(st["n"], mode="drop")
+        pk = st["pk"].at[bidx, slot].set(st["k"], mode="drop")
+        pl = st["pl"].at[bidx, slot].set(st["l"], mode="drop")
+        ps = st["ps"].at[bidx, slot].set(st["s"], mode="drop")
+        num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+
+        die = ext & (ns < min_intv)
+        take = ext & ~die
+        next_x = jnp.where(in_range, j + 1, st["next_x"])
+        next_x = jnp.where(die, j, next_x)
+        return dict(
+            t=st["t"] + 1,
+            k=jnp.where(take, nk, st["k"]),
+            l=jnp.where(take, nl, st["l"]),
+            s=jnp.where(take, ns, st["s"]),
+            n=jnp.where(take, j, st["n"]),
+            num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
+            next_x=next_x,
+            alive=take,
+        )
+
+    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
+
+    # final push of the last interval (FMI_search.cpp:1249-1254)
+    push = started & (st["s"] >= min_intv)
+    slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
+    pm = st["pm"].at[bidx, slot].set(x, mode="drop")
+    pn = st["pn"].at[bidx, slot].set(st["n"], mode="drop")
+    pk = st["pk"].at[bidx, slot].set(st["k"], mode="drop")
+    pl = st["pl"].at[bidx, slot].set(st["l"], mode="drop")
+    ps = st["ps"].at[bidx, slot].set(st["s"], mode="drop")
+    num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+    next_x = st["next_x"]
+
+    # reverse prev so longest matches (smallest intervals) come first
+    ridx = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
+    pm = jnp.take_along_axis(pm, ridx, axis=1)
+    pn = jnp.take_along_axis(pn, ridx, axis=1)
+    pk = jnp.take_along_axis(pk, ridx, axis=1)
+    pl = jnp.take_along_axis(pl, ridx, axis=1)
+    ps = jnp.take_along_axis(ps, ridx, axis=1)
+
+    # ---- backward phase ----
+    bwd0 = dict(
+        t=jnp.int32(0),
+        num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
+        alive=started & (num_prev > 0),
+        seeds=seeds,
+    )
+    parange = jnp.arange(P)[None, :]
+
+    def bwd_cond(st):
+        return jnp.any(st["alive"]) & (st["t"] < L)
+
+    def bwd_body(st):
+        j = x - 1 - st["t"]
+        in_range = st["alive"] & (j >= 0)
+        a = _read_base(codes, j)
+        amb = a >= 4
+        proc = in_range & ~amb
+
+        c = jnp.broadcast_to(a[:, None], (B, P))
+        nk, nl, ns = fmops.backward_extend(fm, st["pk"], st["pl"], st["ps"], c)
+        validp = parange < st["num_prev"][:, None]
+        survive = validp & (ns >= min_intv[:, None])
+        plen = st["pn"] - st["pm"] + 1
+        die_ok = validp & ~survive & (plen >= min_seed_len)
+
+        # the first entry that either survives or dies-with-output decides
+        cand = survive | die_ok
+        has_cand = jnp.any(cand, axis=1)
+        pstar = jnp.argmax(cand, axis=1)
+        pstar_die = jnp.take_along_axis(die_ok, pstar[:, None], axis=1)[:, 0]
+        emit = proc & has_cand & pstar_die
+        em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
+        en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
+        ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
+        es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
+        seeds2 = _append_seed(st["seeds"], emit, em, en, ek, es)
+
+        # keep deduped survivors (interval sizes are monotone along p,
+        # so "!= last kept size" == "first of each distinct size")
+        first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32), axis=1) == 1)
+        prev_ns = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
+        keep = survive & (first_surv | (ns != prev_ns))
+        pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        slot2 = jnp.where(keep & proc[:, None], pos, P)
+        npm = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(
+            jnp.broadcast_to(j[:, None], (B, P)), mode="drop")
+        npn = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(st["pn"], mode="drop")
+        npk = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(nk, mode="drop")
+        npl = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(nl, mode="drop")
+        nps = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(ns, mode="drop")
+        ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+        return dict(
+            t=st["t"] + 1,
+            num_prev=jnp.where(proc, ncount, st["num_prev"]),
+            pm=jnp.where(proc[:, None], npm, st["pm"]),
+            pn=jnp.where(proc[:, None], npn, st["pn"]),
+            pk=jnp.where(proc[:, None], npk, st["pk"]),
+            pl=jnp.where(proc[:, None], npl, st["pl"]),
+            ps=jnp.where(proc[:, None], nps, st["ps"]),
+            alive=proc & (ncount > 0),
+            seeds=seeds2,
+        )
+
+    st = jax.lax.while_loop(bwd_cond, bwd_body, bwd0)
+
+    # final emission: surviving prev[0] (FMI_search.cpp:1330-1339)
+    final = started & (st["num_prev"] > 0)
+    fl = st["pn"][:, 0] - st["pm"][:, 0] + 1
+    emit = final & (fl >= min_seed_len)
+    seeds = _append_seed(st["seeds"], emit, st["pm"][:, 0], st["pn"][:, 0],
+                         st["pk"][:, 0], st["ps"][:, 0])
+    return seeds, next_x
+
+
+# --------------------------------------------------------------------------
+# All-position SMEM driver (getSMEMsAllPosOneThread parity)
+# --------------------------------------------------------------------------
+
+def smem_all_pos(fm: DeviceFMIndex, codes, lens, min_intv, active,
+                 min_seed_len: int, max_seeds: int, prev_cap: int):
+    """K1: anchors sweep left to right until every lane is exhausted."""
+    B, L = codes.shape
+    seeds0 = _empty_seeds(B, max_seeds)
+
+    def cond(st):
+        x, seeds = st
+        return jnp.any(active & (x < lens))
+
+    def body(st):
+        x, seeds = st
+        lane_on = active & (x < lens)
+        seeds, next_x = smem_one_pos(fm, codes, lens, x, min_intv, lane_on,
+                                     min_seed_len, seeds, prev_cap)
+        x = jnp.where(lane_on, next_x, x)
+        return (x, seeds)
+
+    _, seeds = jax.lax.while_loop(cond, body, (jnp.zeros(B, jnp.int32), seeds0))
+    return seeds
+
+
+# --------------------------------------------------------------------------
+# K3 forward-only interval-capped seeding (bwtSeedStrategy parity)
+# --------------------------------------------------------------------------
+
+def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
+                  min_seed_len: int, max_seeds: int):
+    """Flattened state machine: each step is either an anchor restart or one
+    forward extension per lane (bwtSeedStrategyAllPosOneThread,
+    FMI_search.cpp:1400-1488)."""
+    B, L = codes.shape
+    seeds0 = _empty_seeds(B, max_seeds)
+    z = jnp.zeros(B, jnp.int32)
+
+    st0 = dict(x=z, j=z, k=z, l=z, s=z, m=z, n=z,
+               started=jnp.zeros(B, bool), seeds=seeds0,
+               steps=jnp.int32(0))
+
+    def cond(st):
+        return jnp.any(active & (st["x"] < lens)) & (st["steps"] < 2 * L * L)
+
+    def body(st):
+        lane_on = active & (st["x"] < lens)
+        # anchor restart lanes
+        fresh = lane_on & ~st["started"]
+        a0 = _read_base(codes, st["x"])
+        k0, l0, s0 = fmops.init_interval(fm, a0)
+        start_ok = fresh & (a0 < 4)
+        x = jnp.where(fresh & (a0 >= 4), st["x"] + 1, st["x"])
+        k = jnp.where(start_ok, k0, st["k"])
+        l = jnp.where(start_ok, l0, st["l"])
+        s = jnp.where(start_ok, s0, st["s"])
+        m = jnp.where(start_ok, st["x"], st["m"])
+        n = jnp.where(start_ok, st["x"], st["n"])
+        j = jnp.where(start_ok, st["x"] + 1, st["j"])
+        started = st["started"] | start_ok
+
+        # extension lanes
+        extl = lane_on & st["started"]
+        over = extl & (j >= lens)           # inner loop exhausted
+        x = jnp.where(over, j, x)
+        started = started & ~over
+
+        step = extl & ~over
+        a = _read_base(codes, j)
+        amb = step & (a >= 4)
+        x = jnp.where(amb, j + 1, x)
+        started = started & ~amb
+
+        go = step & ~amb
+        nk, nl, ns = fmops.forward_extend(fm, k, l, s, a)
+        k = jnp.where(go, nk, k)
+        l = jnp.where(go, nl, l)
+        s = jnp.where(go, ns, s)
+        n = jnp.where(go, j, n)
+        hit = go & (s < max_intv) & ((n - m + 1) >= min_seed_len)
+        emit = hit & (s > 0)
+        seeds = _append_seed(st["seeds"], emit, m, n, k, s)
+        x = jnp.where(hit, j + 1, x)
+        started = started & ~hit
+        j = jnp.where(go & ~hit, j + 1, j)
+
+        return dict(x=x, j=j, k=k, l=l, s=s, m=m, n=n, started=started,
+                    seeds=seeds, steps=st["steps"] + 1)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    return st["seeds"]

@@ -177,3 +177,129 @@ def pairhmm_loglik(hap: np.ndarray, read: np.ndarray, q: np.ndarray,
             Y[i, j] = trans_md[i - 1] * M[i, j - 1] + trans_gg[i - 1] * Y[i, j - 1]
     final = M[R, :].sum() + X[R, :].sum()
     return np.log10(final)
+
+
+# ---------- exact scalar ports of the reference seeding kernels ----------
+# (FMI_search::getSMEMsOnePosOneThread / getSMEMsAllPosOneThread /
+#  bwtSeedStrategyAllPosOneThread, reference ext/TAL/src/FMI/
+#  FMI_search.cpp:1170-1488; driver mem_collect_smem src/bwamem.cpp:771-869.
+#  These are the parity targets for the batched device kernels.)
+
+def smem_one_pos_ref(fm, codes, x, min_intv, min_seed_len):
+    """One anchor pass. Returns (smems [(m, n, k, l, s)], next_x)."""
+    L = len(codes)
+    out = []
+    next_x = x + 1
+    a = int(codes[x])
+    if a >= 4:
+        return out, next_x
+    k, l, s = fm.init_interval(a)
+    m, n = x, x
+    prev = []
+    for j in range(x + 1, L):
+        next_x = j + 1
+        a = int(codes[j])
+        if a >= 4:
+            break
+        nk, nl, ns = fm.forward_extend(k, l, s, a)
+        if ns != s:
+            prev.append((m, n, k, l, s))
+            if ns < min_intv:
+                next_x = j
+                break
+        k, l, s, n = nk, nl, ns, j
+    else:
+        next_x = L
+    if s >= min_intv:
+        prev.append((m, n, k, l, s))
+    prev.reverse()  # longest match (smallest interval) first
+
+    for j in range(x - 1, -1, -1):
+        a = int(codes[j])
+        if a >= 4:
+            break
+        curr = []
+        curr_s = -1
+        p = 0
+        while p < len(prev):
+            pm, pn, pk, pl, ps = prev[p]
+            nk, nl, ns = fm.backward_extend(pk, pl, ps, a)
+            if ns < min_intv and (pn - pm + 1) >= min_seed_len:
+                out.append((pm, pn, pk, pl, ps))
+                break
+            if ns >= min_intv and ns != curr_s:
+                curr_s = ns
+                curr.append((j, pn, nk, nl, ns))
+                break
+            p += 1
+        p += 1
+        while p < len(prev):
+            pm, pn, pk, pl, ps = prev[p]
+            nk, nl, ns = fm.backward_extend(pk, pl, ps, a)
+            if ns >= min_intv and ns != curr_s:
+                curr_s = ns
+                curr.append((j, pn, nk, nl, ns))
+            p += 1
+        prev = curr
+        if not curr:
+            break
+    if prev:
+        pm, pn, pk, pl, ps = prev[0]
+        if pn - pm + 1 >= min_seed_len:
+            out.append((pm, pn, pk, pl, ps))
+    return out, next_x
+
+
+def smem_all_pos_ref(fm, codes, min_intv, min_seed_len):
+    out = []
+    x = 0
+    while x < len(codes):
+        smems, x = smem_one_pos_ref(fm, codes, x, min_intv, min_seed_len)
+        out.extend(smems)
+    return out
+
+
+def seed_strategy_ref(fm, codes, max_intv, min_seed_len):
+    """K3: forward-only interval-capped seeding
+    (bwtSeedStrategyAllPosOneThread)."""
+    L = len(codes)
+    out = []
+    x = 0
+    while x < L:
+        next_x = x + 1
+        m, n = x, x
+        a = int(codes[x])
+        if a < 4:
+            k, l, s = fm.init_interval(a)
+            for j in range(x + 1, L):
+                next_x = j + 1
+                a = int(codes[j])
+                if a >= 4:
+                    break
+                k, l, s = fm.forward_extend(k, l, s, a)
+                n = j
+                if s < max_intv and (n - m + 1) >= min_seed_len:
+                    if s > 0:
+                        out.append((m, n, k, l, s))
+                    break
+        x = next_x
+    return out
+
+
+def collect_smems_ref(fm, codes, opt):
+    """Full K1+K2+K3 (mem_collect_smem semantics, bwamem.cpp:771-860)."""
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    k1 = smem_all_pos_ref(fm, codes, 1, opt.min_seed_len)
+    k2 = []
+    for (m, n, k, l, s) in k1:
+        start, end = m, n + 1
+        if end - start < split_len or s > opt.split_width:
+            continue
+        smems, _ = smem_one_pos_ref(fm, codes, (end + start) >> 1, s + 1,
+                                    opt.min_seed_len)
+        k2.extend(smems)
+    k3 = []
+    if opt.max_mem_intv > 0:
+        k3 = seed_strategy_ref(fm, codes, opt.max_mem_intv,
+                               opt.min_seed_len + 1)
+    return k1, k2, k3

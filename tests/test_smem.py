@@ -1,0 +1,146 @@
+"""Batched device SMEM kernels vs scalar reference transcription vs brute force."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fgdp_tpu.config import AlignConfig
+from fgdp_tpu.index.fmindex import FMIndex
+from fgdp_tpu.ops import smem as smemops
+from fgdp_tpu.ops.fm import DeviceFMIndex
+from fgdp_tpu.testing import oracles
+from fgdp_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, size=600, dtype=np.uint8)
+    fm = FMIndex.build(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    return rng, ref, fm, dfm
+
+
+def make_reads(rng, ref, n_reads=24, L=48):
+    """Mix of planted exact reads, mutated reads, junk, and N-contaminated."""
+    reads = np.zeros((n_reads, L), dtype=np.uint8)
+    text = np.concatenate([ref, dna.revcomp(ref)])
+    for i in range(n_reads):
+        kind = i % 4
+        if kind == 0:  # exact
+            p = rng.integers(0, len(text) - L)
+            reads[i] = text[p:p + L]
+        elif kind == 1:  # mutated
+            p = rng.integers(0, len(text) - L)
+            r = text[p:p + L].copy()
+            for _ in range(rng.integers(1, 5)):
+                r[rng.integers(0, L)] = rng.integers(0, 4)
+            reads[i] = r
+        elif kind == 2:  # random junk
+            reads[i] = rng.integers(0, 4, size=L, dtype=np.uint8)
+        else:  # with ambiguous bases
+            p = rng.integers(0, len(text) - L)
+            r = text[p:p + L].copy()
+            r[rng.integers(0, L)] = 4
+            r[rng.integers(0, L)] = 4
+            reads[i] = r
+    return reads
+
+
+def seeds_to_sets(seeds, B):
+    out = []
+    m, n, k, s = (np.asarray(seeds.m), np.asarray(seeds.n),
+                  np.asarray(seeds.k), np.asarray(seeds.s))
+    cnt = np.asarray(seeds.count)
+    for b in range(B):
+        out.append(sorted((int(m[b, i]), int(n[b, i]), int(k[b, i]), int(s[b, i]))
+                          for i in range(cnt[b])))
+    return out
+
+
+def test_scalar_oracle_matches_brute_force(world):
+    """The transcription of the reference kernel must produce the textbook
+    SMEM set (min_intv=1, no length filter)."""
+    rng, ref, fm, _ = world
+    text = oracles.text_with_rc(ref)
+    for _ in range(8):
+        L = 20
+        p = int(rng.integers(0, 2 * len(ref) - L))
+        q = np.frombuffer(text[p:p + L], dtype=np.uint8).copy()
+        q[int(rng.integers(0, L))] = int(rng.integers(0, 4))
+        got = oracles.smem_all_pos_ref(fm, q, 1, 1)
+        got_set = {(m, n + 1, s) for (m, n, k, l, s) in got}
+        want = {(s0, e0, c) for (s0, e0, c) in oracles.smems_brute(text, q)}
+        assert got_set == want
+
+
+def test_device_k1_matches_scalar(world):
+    rng, ref, fm, dfm = world
+    reads = make_reads(rng, ref)
+    B, L = reads.shape
+    codes = jnp.asarray(reads, jnp.int32)
+    lens = jnp.full(B, L, jnp.int32)
+    min_intv = jnp.ones(B, jnp.int32)
+    active = jnp.ones(B, bool)
+    min_seed_len = 10
+    seeds = smemops.smem_all_pos(dfm, codes, lens, min_intv, active,
+                                 min_seed_len, max_seeds=64, prev_cap=L + 2)
+    got = seeds_to_sets(seeds, B)
+    for b in range(B):
+        ref_out = oracles.smem_all_pos_ref(fm, reads[b], 1, min_seed_len)
+        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        assert got[b] == want, f"read {b}"
+
+
+def test_device_one_pos_matches_scalar_k2_params(world):
+    """K2-style: varied anchors and min_intv per lane."""
+    rng, ref, fm, dfm = world
+    reads = make_reads(rng, ref, n_reads=16)
+    B, L = reads.shape
+    x = rng.integers(0, L, size=B).astype(np.int32)
+    mi = rng.integers(1, 6, size=B).astype(np.int32)
+    seeds0 = smemops._empty_seeds(B, 64)
+    seeds, next_x = smemops.smem_one_pos(
+        dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
+        jnp.asarray(x), jnp.asarray(mi), jnp.ones(B, bool),
+        10, seeds0, prev_cap=L + 2)
+    got = seeds_to_sets(seeds, B)
+    nx = np.asarray(next_x)
+    for b in range(B):
+        ref_out, ref_nx = oracles.smem_one_pos_ref(fm, reads[b], int(x[b]),
+                                                   int(mi[b]), 10)
+        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        assert got[b] == want, f"read {b}"
+        assert nx[b] == ref_nx, f"read {b} next_x"
+
+
+def test_device_k3_matches_scalar(world):
+    rng, ref, fm, dfm = world
+    reads = make_reads(rng, ref)
+    B, L = reads.shape
+    seeds = smemops.seed_strategy(
+        dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
+        jnp.ones(B, bool), max_intv=20, min_seed_len=11, max_seeds=64)
+    got = seeds_to_sets(seeds, B)
+    for b in range(B):
+        ref_out = oracles.seed_strategy_ref(fm, reads[b], 20, 11)
+        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        assert got[b] == want, f"read {b}"
+
+
+def test_full_collect_pipeline_matches(world):
+    """K1+K2+K3 driver parity (mem_collect_smem semantics)."""
+    rng, ref, fm, dfm = world
+    opt = AlignConfig(min_seed_len=10, max_mem_intv=20, split_width=10)
+    reads = make_reads(rng, ref, n_reads=12)
+    B, L = reads.shape
+    from fgdp_tpu.align.seeding import collect_seeds
+    seeds = collect_seeds(dfm, jnp.asarray(reads, jnp.int32),
+                          jnp.full(B, L, jnp.int32), jnp.ones(B, bool), opt,
+                          max_seeds=128, prev_cap=L + 2)
+    got = seeds_to_sets(seeds, B)
+    for b in range(B):
+        k1, k2, k3 = oracles.collect_smems_ref(fm, reads[b], opt)
+        want = sorted((m, n, k, s) for (m, n, k, l, s) in k1 + k2 + k3)
+        assert got[b] == want, f"read {b}"
