@@ -1,0 +1,306 @@
+"""Batched seed chaining + chain filtering (device side).
+
+Transcribes the reference's per-read B-tree chaining
+(mem_chain_seeds_new, src/bwamem.cpp:1163-1237; test_and_merge :1131) and
+chain filter (mem_chain_flt :529, mem_chain_weight :452) into SPMD state
+machines over a read batch: every lane runs the same fixed-iteration loop
+with masking, seed positions come from one batched SA gather, and the
+B-tree "closest chain" lookup is a masked argmax over a fixed-capacity
+chain table. Chain weights are accumulated incrementally during append
+(seeds arrive sorted by qbeg, so the union-coverage scan is the same
+running-end update the reference performs afterwards).
+
+Known deviation: chains with equal weight keep insertion order in the
+filter sort (stable); the reference's introsort is unstable there.
+
+Capacity model: P flat seed-position slots and C chain slots per read;
+overflow is flagged per read for host-side fallback (the reference
+reallocs instead; macro SEEDS_PER_READ=500, src/macro.h).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..index.reference import DeviceReference
+from ..ops import fm as fmops
+from ..ops.fm import DeviceFMIndex
+from ..ops.smem import SeedBatch
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+class ChainBatch(NamedTuple):
+    """Fixed-shape chains + member seeds per read (B lanes)."""
+
+    # flat seeds, in expansion order (qbeg-ascending)
+    seed_qbeg: jax.Array   # int32[B, P]
+    seed_rbeg: jax.Array   # int32[B, P]
+    seed_len: jax.Array    # int32[B, P]
+    seed_chain: jax.Array  # int32[B, P]  chain slot id, -1 = dropped
+    # chain table, in insertion order (use `order` for pos-sorted traversal)
+    pos: jax.Array         # int32[B, C] first-seed rbeg (B-tree key)
+    rid: jax.Array         # int32[B, C]
+    first_q: jax.Array     # int32[B, C]
+    first_r: jax.Array     # int32[B, C]
+    last_q: jax.Array      # int32[B, C]
+    last_r: jax.Array      # int32[B, C]
+    last_len: jax.Array    # int32[B, C]
+    n_seeds: jax.Array     # int32[B, C]
+    weight: jax.Array      # int32[B, C] min(query,ref) union coverage
+    kept: jax.Array        # int32[B, C] 0=dropped 1/2/3 per mem_chain_flt
+    n_chains: jax.Array    # int32[B]
+    frac_rep: jax.Array    # float32[B]
+    overflow: jax.Array    # bool[B]
+
+
+def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
+                 opt: AlignConfig, max_seedpos: int):
+    """SA expansion with occurrence-step sampling (bwamem.cpp:1181-1196).
+
+    Returns flat per-read job arrays (qbeg, rbeg, len, rid, valid) of
+    width P = max_seedpos, in smem-then-occurrence order, plus overflow.
+    """
+    B, S = smems.m.shape
+    P = max_seedpos
+    slot_valid = jnp.arange(S)[None, :] < smems.count[:, None]
+    s = jnp.where(slot_valid, smems.s, 0)
+    step = jnp.where(s > opt.max_occ, s // opt.max_occ, 1)
+    cnt = jnp.where(slot_valid, jnp.minimum(-(-s // jnp.maximum(step, 1)),
+                                            opt.max_occ), 0)
+    base = jnp.cumsum(cnt, axis=1) - cnt          # exclusive prefix
+    total = base[:, -1] + cnt[:, -1]
+    overflow = total > P
+
+    t = jnp.arange(P, dtype=jnp.int32)[None, :]
+    # smem index owning flat slot t: last i with base[i] <= t and cnt[i]>0
+    owner = jax.vmap(
+        lambda b, tt: jnp.searchsorted(b, tt, side="right"))(
+            (base + cnt).astype(jnp.int32), t.repeat(B, 0))
+    owner = jnp.clip(owner, 0, S - 1).astype(jnp.int32)
+    valid = t < jnp.minimum(total, P)[:, None]
+    occ_idx = t - jnp.take_along_axis(base, owner, axis=1)
+    sa_row = jnp.take_along_axis(smems.k, owner, axis=1) + \
+        occ_idx * jnp.take_along_axis(step, owner, axis=1)
+    rbeg = fmops.sa_lookup(dfm, jnp.clip(sa_row, 0, dfm.sa.shape[0] - 1))
+    qbeg = jnp.take_along_axis(smems.m, owner, axis=1)
+    qend = jnp.take_along_axis(smems.n, owner, axis=1)
+    slen = qend + 1 - qbeg
+
+    in_ref = rbeg + qend - qbeg <= 2 * dref.l_pac   # rotation guard
+    rid = dref.intv2rid(rbeg, rbeg + slen)
+    valid = valid & in_ref & (rid >= 0)
+    return qbeg, rbeg, slen, rid, valid, overflow
+
+
+def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
+                lens, opt: AlignConfig, max_seedpos: int,
+                max_chains: int) -> ChainBatch:
+    B, S = smems.m.shape
+    P, C = max_seedpos, max_chains
+    bidx = jnp.arange(B)
+
+    # frac_rep (union of high-occurrence smem spans, m-ascending order)
+    slot_valid = jnp.arange(S)[None, :] < smems.count[:, None]
+    qual = slot_valid & (smems.s > opt.max_occ)
+    se = jnp.where(qual, smems.n + 1, 0)
+    sb = jnp.where(qual, smems.m, 0)
+    run_e = jax.lax.cummax(jnp.where(qual, se, -1), axis=1)
+    prev_e = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                              run_e[:, :-1]], axis=1)
+    prev_e = jnp.maximum(prev_e, 0)
+    contrib = jnp.where(qual, jnp.maximum(se - jnp.maximum(sb, prev_e), 0), 0)
+    l_rep = jnp.sum(contrib, axis=1)
+    frac_rep = l_rep.astype(jnp.float32) / jnp.maximum(lens, 1).astype(jnp.float32)
+
+    qbeg, rbeg, slen, rid, valid, overflow = expand_seeds(
+        dfm, dref, smems, opt, P)
+
+    zC = jnp.zeros((B, C), jnp.int32)
+    st = dict(
+        pos=zC, crid=zC, fq=zC, fr=zC, lq=zC, lr=zC, ll=zC, ns=zC,
+        wq=zC, wr=zC, qend=zC, rend=zC,
+        n=jnp.zeros(B, jnp.int32),
+        chain_of=jnp.full((B, P), -1, jnp.int32),
+        ovf=overflow,
+    )
+    carange = jnp.arange(C)[None, :]
+    l_pac = dref.l_pac
+
+    def body(t, st):
+        v = valid[:, t]
+        qb, rb, ln, rd = qbeg[:, t], rbeg[:, t], slen[:, t], rid[:, t]
+        have = carange < st["n"][:, None]
+        # closest chain with pos <= rb (kb_intervalp lower); tie -> latest
+        elig = have & (st["pos"] <= rb[:, None])
+        maxpos = jnp.max(jnp.where(elig, st["pos"], -1), axis=1)
+        tie = elig & (st["pos"] == maxpos[:, None])
+        lo = jnp.max(jnp.where(tie, carange, 0), axis=1).astype(jnp.int32)
+        has_lo = jnp.any(elig, axis=1)
+
+        g = lambda a: a[bidx, lo]
+        same_rid = g(st["crid"]) == rd
+        contained = (qb >= g(st["fq"])) & (qb + ln <= g(st["lq"]) + g(st["ll"])) & \
+            (rb >= g(st["fr"])) & (rb + ln <= g(st["lr"]) + g(st["ll"]))
+        diff_strand = ((g(st["lr"]) < l_pac) | (g(st["fr"]) < l_pac)) & \
+            (rb >= l_pac)
+        x = qb - g(st["lq"])
+        y = rb - g(st["lr"])
+        growable = (y >= 0) & (x - y <= opt.w) & (y - x <= opt.w) & \
+            (x - g(st["ll"]) < opt.max_chain_gap) & \
+            (y - g(st["ll"]) < opt.max_chain_gap)
+
+        merged_contained = v & has_lo & same_rid & contained
+        appended = v & has_lo & same_rid & ~contained & ~diff_strand & growable
+        new_chain = v & ~(merged_contained | appended)
+
+        # --- append to chain `lo` ---
+        def upd(a, val, mask):
+            return a.at[bidx, lo].set(jnp.where(mask, val, a[bidx, lo]))
+
+        # union-coverage increments (mem_chain_weight running ends)
+        dq = jnp.where(qb >= g(st["qend"]), ln,
+                       jnp.maximum(qb + ln - g(st["qend"]), 0))
+        dr = jnp.where(rb >= g(st["rend"]), ln,
+                       jnp.maximum(rb + ln - g(st["rend"]), 0))
+        st2 = dict(st)
+        st2["lq"] = upd(st["lq"], qb, appended)
+        st2["lr"] = upd(st["lr"], rb, appended)
+        st2["ll"] = upd(st["ll"], ln, appended)
+        st2["ns"] = upd(st["ns"], g(st["ns"]) + 1, appended)
+        st2["wq"] = upd(st["wq"], g(st["wq"]) + dq, appended)
+        st2["wr"] = upd(st["wr"], g(st["wr"]) + dr, appended)
+        st2["qend"] = upd(st["qend"], jnp.maximum(g(st["qend"]), qb + ln), appended)
+        st2["rend"] = upd(st["rend"], jnp.maximum(g(st["rend"]), rb + ln), appended)
+
+        # --- new chain in slot n ---
+        slot = jnp.where(new_chain & (st["n"] < C), st["n"], C)
+        ovf2 = st["ovf"] | (new_chain & (st["n"] >= C))
+
+        def put(a, val):
+            return a.at[bidx, slot].set(val, mode="drop")
+
+        st2["pos"] = put(st2["pos"], rb)
+        st2["crid"] = put(st2["crid"], rd)
+        st2["fq"] = put(st2["fq"], qb)
+        st2["fr"] = put(st2["fr"], rb)
+        st2["lq"] = put(st2["lq"], qb)
+        st2["lr"] = put(st2["lr"], rb)
+        st2["ll"] = put(st2["ll"], ln)
+        st2["ns"] = put(st2["ns"], jnp.ones(B, jnp.int32))
+        st2["wq"] = put(st2["wq"], ln)
+        st2["wr"] = put(st2["wr"], ln)
+        st2["qend"] = put(st2["qend"], qb + ln)
+        st2["rend"] = put(st2["rend"], rb + ln)
+        st2["n"] = st["n"] + (new_chain & (st["n"] < C)).astype(jnp.int32)
+        st2["ovf"] = ovf2
+
+        cid = jnp.where(appended | merged_contained, lo,
+                        jnp.where(new_chain & (slot < C), slot, -1))
+        cid = jnp.where(merged_contained, -1, cid)   # contained: dropped
+        st2["chain_of"] = st["chain_of"].at[:, t].set(jnp.where(v, cid, -1))
+        return st2
+
+    st = jax.lax.fori_loop(0, P, body, st)
+
+    weight = jnp.minimum(st["wq"], st["wr"])
+    weight = jnp.minimum(weight, (1 << 30) - 1)
+
+    kept = _chain_flt(st, weight, dref, opt, C)
+
+    return ChainBatch(
+        seed_qbeg=qbeg, seed_rbeg=rbeg, seed_len=slen,
+        seed_chain=st["chain_of"],
+        pos=st["pos"], rid=st["crid"], first_q=st["fq"], first_r=st["fr"],
+        last_q=st["lq"], last_r=st["lr"], last_len=st["ll"],
+        n_seeds=st["ns"], weight=weight, kept=kept, n_chains=st["n"],
+        frac_rep=frac_rep, overflow=st["ovf"],
+    )
+
+
+def _chain_flt(st, weight, dref: DeviceReference, opt: AlignConfig, C: int):
+    """mem_chain_flt transcription over the fixed chain table.
+
+    Operates in weight-sorted order via an index permutation; returns
+    kept flags (0/1/2/3) aligned to the *insertion-order* chain table.
+    """
+    B = weight.shape[0]
+    bidx = jnp.arange(B)
+    carange = jnp.arange(C)[None, :]
+    have = carange < st["n"][:, None]
+    big_enough = have & (weight >= opt.min_chain_weight)
+
+    # traversal order is pos-ascending (B-tree); the reference then sorts
+    # that array by weight (introsort — ties implementation-defined; we
+    # define ties to keep pos order)
+    posord = jnp.argsort(jnp.where(have, st["pos"], INT32_MAX), axis=1,
+                         stable=True).astype(jnp.int32)
+    w_p = jnp.take_along_axis(weight, posord, axis=1)
+    big_p = jnp.take_along_axis(big_enough, posord, axis=1)
+    ordkey = jnp.where(big_p, -w_p, INT32_MAX)
+    order2 = jnp.argsort(ordkey, axis=1, stable=True).astype(jnp.int32)
+    order = jnp.take_along_axis(posord, order2, axis=1)
+    n_f = jnp.sum(big_enough, axis=1).astype(jnp.int32)
+
+    osel = lambda a: jnp.take_along_axis(a, order, axis=1)
+    w_s = osel(weight)
+    beg_s = osel(st["fq"])
+    end_s = osel(st["lq"] + st["ll"])
+    alt_s = osel(jnp.take(jnp.concatenate(
+        [dref.is_alt, jnp.zeros(1, bool)]),
+        jnp.clip(st["crid"], 0, dref.n_contigs), axis=0).astype(jnp.int32))
+    li_s = end_s - beg_s
+
+    kept0 = jnp.zeros((B, C), jnp.int32).at[:, 0].set(
+        jnp.where(n_f > 0, 3, 0))
+    first0 = jnp.full((B, C), -1, jnp.int32)
+
+    def body(i, kf):
+        kept, first = kf
+        on = i < n_f
+        in_kept = kept > 0
+        b_max = jnp.maximum(beg_s, beg_s[:, i][:, None])
+        e_min = jnp.minimum(end_s, end_s[:, i][:, None])
+        min_l = jnp.minimum(li_s, li_s[:, i][:, None])
+        sig = in_kept & (carange < i) & (e_min > b_max) & \
+            ((alt_s == 0) | (alt_s[:, i][:, None] == 1)) & \
+            ((e_min - b_max).astype(jnp.float32) >=
+             min_l.astype(jnp.float32) * opt.mask_level) & \
+            (min_l < opt.max_chain_gap)
+        trig = sig & (w_s[:, i][:, None].astype(jnp.float32) <
+                      w_s.astype(jnp.float32) * opt.drop_ratio) & \
+            (w_s - w_s[:, i][:, None] >= opt.min_seed_len * 2)
+        any_trig = jnp.any(trig, axis=1)
+        first_trig = jnp.min(jnp.where(trig, carange, C), axis=1)
+        # `first` assignment: sig chains scanned before (incl.) the trigger
+        eligible = sig & (carange <= first_trig[:, None]) & (first == -1)
+        first = jnp.where(on[:, None] & eligible, i, first)
+        large = jnp.any(sig, axis=1)
+        ki = jnp.where(any_trig, 0, jnp.where(large, 2, 3))
+        kept = kept.at[:, i].set(jnp.where(on, ki, kept[:, i]))
+        return (kept, first)
+
+    kept, first = jax.lax.fori_loop(1, C, body, (kept0, first0))
+
+    # shadow marking: kept chains' `first` targets get kept=1
+    is_kept = kept > 0
+    tgt = jnp.where(is_kept & (first >= 0), first, C)
+    mark = jnp.zeros((B, C + 1), bool).at[bidx[:, None], tgt].set(
+        True, mode="drop")[:, :C]
+    kept = jnp.where(mark, 1, kept)
+
+    # max_chain_extend cap over kept∈{1,2} in sorted order
+    is12 = (kept == 1) | (kept == 2)
+    csum = jnp.cumsum(is12.astype(jnp.int32), axis=1)
+    hit = is12 & (csum >= opt.max_chain_extend)
+    cutpos = jnp.min(jnp.where(hit, carange, C), axis=1)
+    kept = jnp.where((carange >= cutpos[:, None]) & (kept < 3), 0, kept)
+
+    # scatter kept flags back to insertion order
+    kept_ins = jnp.zeros((B, C), jnp.int32).at[
+        bidx[:, None], order].set(kept)
+    return kept_ins

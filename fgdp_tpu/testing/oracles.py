@@ -136,6 +136,240 @@ def sw_extend(query: np.ndarray, target: np.ndarray, o_del, e_del, o_ins, e_ins,
                 gtle=int(gtle), gscore=int(gscore), max_off=int(max_off))
 
 
+# ---------- scalar ports of seed chaining (mem_chain_seeds_new etc.) ----------
+
+def frac_rep_ref(smems, max_occ, l_query):
+    """l_rep union computation (mem_chain_seeds_new, bwamem.cpp:1167-1176)."""
+    b = e = l_rep = 0
+    for (m, n, k, l, s) in smems:
+        sb, se = m, n + 1
+        if s <= max_occ:
+            continue
+        if sb > e:
+            l_rep += e - b
+            b, e = sb, se
+        else:
+            e = max(e, se)
+    l_rep += e - b
+    return l_rep / l_query
+
+
+def chain_seeds_ref(fm, ref, smems, opt):
+    """Scalar transcription of mem_chain_seeds_new (bwamem.cpp:1163-1237).
+
+    smems: [(m, n, k, l, s)] in sorted order. Returns list of chains, each
+    a dict(pos, rid, seeds=[(qbeg, rbeg, len)]), in B-tree (pos) order,
+    and the flat seed jobs for cross-checking expansion.
+    """
+    l_pac = ref.l_pac
+    chains = []   # kept sorted by pos (insertion keeps order)
+
+    def lower_of(pos):
+        lo = None
+        for c in chains:
+            if c["pos"] <= pos and (lo is None or c["pos"] >= lo["pos"]):
+                lo = c
+        return lo
+
+    def test_and_merge(c, qbeg, rbeg, slen, rid):
+        fq, fr, _ = c["seeds"][0]
+        lq, lr, ll = c["seeds"][-1]
+        if rid != c["rid"]:
+            return 0
+        if qbeg >= fq and qbeg + slen <= lq + ll and rbeg >= fr and \
+                rbeg + slen <= lr + ll:
+            return 1  # contained
+        if (lr < l_pac or fr < l_pac) and rbeg >= l_pac:
+            return 0
+        x = qbeg - lq
+        y = rbeg - lr
+        if y >= 0 and x - y <= opt.w and y - x <= opt.w and \
+                x - ll < opt.max_chain_gap and y - ll < opt.max_chain_gap:
+            c["seeds"].append((qbeg, rbeg, slen))
+            return 1
+        return 0
+
+    for (m, n, k, l, s) in smems:
+        slen = n + 1 - m
+        step = s // opt.max_occ if s > opt.max_occ else 1
+        kk = count = 0
+        while kk < s and count < opt.max_occ:
+            rbeg = int(fm.sa[k + kk])
+            if rbeg + n - m <= 2 * l_pac:
+                rid = ref.intv2rid(rbeg, rbeg + slen)
+                if rid >= 0:
+                    lo = lower_of(rbeg)
+                    if lo is None or not test_and_merge(lo, m, rbeg, slen, rid):
+                        c = dict(pos=rbeg, rid=rid, seeds=[(m, rbeg, slen)])
+                        # insert keeping pos order (B-tree traversal order)
+                        i = 0
+                        while i < len(chains) and chains[i]["pos"] <= rbeg:
+                            i += 1
+                        chains.insert(i, c)
+            kk += step
+            count += 1
+    return chains
+
+
+def chain_weight_ref(seeds):
+    """mem_chain_weight (bwamem.cpp:452-473)."""
+    w_q = end = 0
+    for (qbeg, rbeg, slen) in seeds:
+        if qbeg >= end:
+            w_q += slen
+        elif qbeg + slen > end:
+            w_q += qbeg + slen - end
+        end = max(end, qbeg + slen)
+    w_r = end = 0
+    for (qbeg, rbeg, slen) in seeds:
+        if rbeg >= end:
+            w_r += slen
+        elif rbeg + slen > end:
+            w_r += rbeg + slen - end
+        end = max(end, rbeg + slen)
+    return min(w_q, w_r)
+
+
+def chain_flt_ref(chains, opt):
+    """mem_chain_flt (bwamem.cpp:529-...): single-seqid variant.
+
+    chains: list of dicts with w/beg/end/is_alt. Returns surviving chains
+    in weight-sorted order with kept flags set.
+    """
+    a = [c for c in chains if c["w"] >= opt.min_chain_weight]
+    if not a:
+        return []
+    for c in a:
+        c["first"] = -1
+        c["kept"] = 0
+    a.sort(key=lambda c: -c["w"])   # NOTE: ties keep input order (stable)
+    a[0]["kept"] = 3
+    kept_idx = [0]
+    for i in range(1, len(a)):
+        large_ovlp = False
+        broke = False
+        for j in kept_idx:
+            b_max = max(a[j]["beg"], a[i]["beg"])
+            e_min = min(a[j]["end"], a[i]["end"])
+            if e_min > b_max and (not a[j]["is_alt"] or a[i]["is_alt"]):
+                li = a[i]["end"] - a[i]["beg"]
+                lj = a[j]["end"] - a[j]["beg"]
+                min_l = min(li, lj)
+                if e_min - b_max >= min_l * opt.mask_level and \
+                        min_l < opt.max_chain_gap:
+                    large_ovlp = True
+                    if a[j]["first"] < 0:
+                        a[j]["first"] = i
+                    if a[i]["w"] < a[j]["w"] * opt.drop_ratio and \
+                            a[j]["w"] - a[i]["w"] >= opt.min_seed_len * 2:
+                        broke = True
+                        break
+        if not broke:
+            kept_idx.append(i)
+            a[i]["kept"] = 2 if large_ovlp else 3
+    for j in kept_idx:
+        c = a[j]
+        if c["first"] >= 0:
+            a[c["first"]]["kept"] = 1
+    k = 0
+    for i in range(len(a)):
+        if a[i]["kept"] in (1, 2):
+            k += 1
+            if k >= opt.max_chain_extend:
+                for t in range(i, len(a)):   # incl. the chain hitting the cap
+                    if a[t]["kept"] < 3:
+                        a[t]["kept"] = 0
+                break
+    return [c for c in a if c["kept"] != 0]
+
+
+# ---------- exact scalar port of the reference's banded SW extension ----------
+
+def banded_swa_ref(query, target, w, h0, o_del, e_del, o_ins, e_ins,
+                   zdrop, end_bonus, mat, m=5):
+    """Exact scalar transcription of BandedPairWiseSW::scalarBandedSWA
+    (reference ext/TAL/src/alignment/BSW/bandedSWA.cpp:116-234), the
+    contract all BSW kernels implement (== bwa's ksw_extend2).
+
+    query/target: int codes (0..4); mat: flat m*m score table.
+    Returns dict(score, qle, tle, gtle, gscore, max_off).
+    """
+    qlen, tlen = len(query), len(target)
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    qp = [[int(mat[k * m + int(query[j])]) for j in range(qlen)] for k in range(m)]
+    eh_h = [0] * (qlen + 2)
+    eh_e = [0] * (qlen + 2)
+
+    eh_h[0] = h0
+    eh_h[1] = h0 - oe_ins if h0 > oe_ins else 0
+    j = 2
+    while j <= qlen and eh_h[j - 1] > e_ins:
+        eh_h[j] = eh_h[j - 1] - e_ins
+        j += 1
+
+    mx = max(int(v) for v in mat)
+    max_ins = int((qlen * mx + end_bonus - o_ins) / e_ins + 1.0)
+    max_ins = max(max_ins, 1)
+    w = min(w, max_ins)
+    max_del = int((qlen * mx + end_bonus - o_del) / e_del + 1.0)
+    max_del = max(max_del, 1)
+    w = min(w, max_del)
+
+    mmax, max_i, max_j, max_ie, gscore, max_off = h0, -1, -1, -1, -1, 0
+    beg, end = 0, qlen
+    for i in range(tlen):
+        f, mrow, mj = 0, 0, -1
+        q = qp[int(target[i])]
+        if beg < i - w:
+            beg = i - w
+        if end > i + w + 1:
+            end = i + w + 1
+        if end > qlen:
+            end = qlen
+        h1 = max(h0 - (o_del + e_del * (i + 1)), 0) if beg == 0 else 0
+        for j in range(beg, end):
+            M, e = eh_h[j], eh_e[j]
+            eh_h[j] = h1
+            M = M + q[j] if M else 0
+            h = M if M > e else e
+            h = h if h > f else f
+            h1 = h
+            mj = mj if mrow > h else j
+            mrow = mrow if mrow > h else h
+            t = max(M - oe_del, 0)
+            e = max(e - e_del, t)
+            eh_e[j] = e
+            t = max(M - oe_ins, 0)
+            f = max(f - e_ins, t)
+        eh_h[end] = h1
+        eh_e[end] = 0
+        if end == qlen:
+            max_ie = max_ie if gscore > h1 else i
+            gscore = gscore if gscore > h1 else h1
+        if mrow == 0:
+            break
+        if mrow > mmax:
+            mmax, max_i, max_j = mrow, i, mj
+            max_off = max(max_off, abs(mj - i))
+        elif zdrop > 0:
+            if i - max_i > mj - max_j:
+                if mmax - mrow - ((i - max_i) - (mj - max_j)) * e_del > zdrop:
+                    break
+            else:
+                if mmax - mrow - ((mj - max_j) - (i - max_i)) * e_ins > zdrop:
+                    break
+        j = beg
+        while j < end and eh_h[j] == 0 and eh_e[j] == 0:
+            j += 1
+        beg = j
+        j = end
+        while j >= beg and eh_h[j] == 0 and eh_e[j] == 0:
+            j -= 1
+        end = j + 2 if j + 2 < qlen else qlen
+    return dict(score=mmax, qle=max_j + 1, tle=max_i + 1, gtle=max_ie + 1,
+                gscore=gscore, max_off=max_off)
+
+
 # ---------- PairHMM forward (GATK semantics, log-space float64) ----------
 
 def pairhmm_loglik(hap: np.ndarray, read: np.ndarray, q: np.ndarray,
