@@ -1,0 +1,207 @@
+"""Batched seed-extension driver (mem_chain2aln_across_reads_V2 parity).
+
+The reference gathers left/right extension SeqPairs across a read batch
+and runs AVX banded-SW with band-doubling retries
+(src/bwamem.cpp:2531-3283). The TPU design does the same gathering into
+fixed-shape job tensors and runs the whole batch through the vectorized
+SW kernel twice per side (band w and 2w), selecting per the reference's
+retry rule (accept when max_off < (w>>1)+(w>>2), src/bwamem.cpp:2950).
+Every seed of every surviving chain becomes one alignment region — V2
+performs no containment pre-test; redundancy is removed afterwards by
+mem_sort_dedup_patch (host side, align/finalize.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..index.reference import DeviceReference
+from ..ops import sw as swops
+from .chain import ChainBatch
+
+NEG1 = jnp.int32(-1)
+
+
+class AlnRegBatch(NamedTuple):
+    """mem_alnreg_t fields, fixed shape [B, E]."""
+
+    rid: jax.Array
+    qb: jax.Array
+    qe: jax.Array
+    rb: jax.Array
+    re: jax.Array
+    score: jax.Array
+    truesc: jax.Array
+    sw_w: jax.Array      # a->w after band retries
+    seedcov: jax.Array
+    seedlen0: jax.Array
+    frac_rep: jax.Array  # float32[B] (per read)
+    valid: jax.Array     # bool[B, E]
+    overflow: jax.Array  # bool[B] (more jobs than E slots)
+
+
+def _cal_max_gap(opt: AlignConfig, qlen):
+    """cal_max_gap (src/bwamem.cpp:65-76); qlen int32[...]"""
+    qf = qlen.astype(jnp.float32)
+    l_del = jnp.trunc((qf * opt.a - opt.o_del) / opt.e_del + 1.0)
+    l_ins = jnp.trunc((qf * opt.a - opt.o_ins) / opt.e_ins + 1.0)
+    l = jnp.maximum(jnp.maximum(l_del, l_ins), 1.0)
+    return jnp.minimum(l, float(opt.w * 2)).astype(jnp.int32)
+
+
+def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
+                  opt: AlignConfig, max_regs: int, t_max: int) -> AlnRegBatch:
+    """codes int32[B, L] read codes; lens int32[B]. Returns regs [B, E]."""
+    B, P = cb.seed_qbeg.shape
+    C = cb.pos.shape[1]
+    E = max_regs
+    L = codes.shape[1]
+    bidx = jnp.arange(B)
+    l_pac = dref.l_pac
+
+    kept_of_seed = jnp.take_along_axis(
+        cb.kept, jnp.clip(cb.seed_chain, 0, C - 1), axis=1)
+    job = (cb.seed_chain >= 0) & (kept_of_seed > 0)
+
+    # ---- per-chain ref window rmax (bwamem.cpp:2608-2630) ----
+    gap_l = _cal_max_gap(opt, cb.seed_qbeg)
+    gap_r = _cal_max_gap(opt, lens[:, None] - cb.seed_qbeg - cb.seed_len)
+    b_t = cb.seed_rbeg - (cb.seed_qbeg + gap_l)
+    e_t = cb.seed_rbeg + cb.seed_len + \
+        (lens[:, None] - cb.seed_qbeg - cb.seed_len) + gap_r
+    cidx = jnp.where(job, cb.seed_chain, C)
+    big = jnp.int32(2**31 - 1)
+    rmax0 = jnp.full((B, C + 1), 2 * l_pac, jnp.int32).at[
+        bidx[:, None], cidx].min(jnp.where(job, b_t, big))[:, :C]
+    rmax1 = jnp.zeros((B, C + 1), jnp.int32).at[
+        bidx[:, None], cidx].max(jnp.where(job, e_t, -big))[:, :C]
+    rmax0 = jnp.maximum(rmax0, 0)
+    rmax1 = jnp.minimum(rmax1, 2 * l_pac)
+    straddle = (rmax0 < l_pac) & (l_pac < rmax1)
+    fwd_first = cb.first_r < l_pac
+    rmax1 = jnp.where(straddle & fwd_first, l_pac, rmax1)
+    rmax0 = jnp.where(straddle & ~fwd_first, l_pac, rmax0)
+    far_beg, far_end, _ = dref.contig_window(cb.first_r)
+    rmax0 = jnp.maximum(rmax0, far_beg)
+    rmax1 = jnp.minimum(rmax1, far_end)
+
+    # ---- compact jobs to [B, E] ----
+    slot = jnp.cumsum(job.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(job & (slot < E), slot, E)
+    overflow = jnp.sum(job, axis=1) > E
+
+    def compact(a, fill=0):
+        out = jnp.full((B, E + 1), fill, a.dtype)
+        return out.at[bidx[:, None], slot].set(a, mode="drop")[:, :E]
+
+    jqb = compact(cb.seed_qbeg)
+    jrb = compact(cb.seed_rbeg)
+    jlen = compact(cb.seed_len)
+    jchain = compact(cb.seed_chain, fill=-1)
+    jvalid = jchain >= 0
+    jr0 = jnp.take_along_axis(rmax0, jnp.clip(jchain, 0, C - 1), axis=1)
+    jr1 = jnp.take_along_axis(rmax1, jnp.clip(jchain, 0, C - 1), axis=1)
+    jrid = jnp.take_along_axis(cb.rid, jnp.clip(jchain, 0, C - 1), axis=1)
+
+    # ---- left extension inputs: reversed prefixes ----
+    TP = t_max
+    jj = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    tt = jnp.arange(TP, dtype=jnp.int32)[None, None, :]
+    ql_idx = jnp.clip(jqb[:, :, None] - 1 - jj, 0, L - 1)
+    q_left = jnp.take_along_axis(
+        codes[:, None, :].repeat(E, 1), ql_idx, axis=2)
+    qlen_l = jqb
+    tlen_l = jrb - jr0
+    t_left = dref.fetch(jrb[:, :, None] - 1 - tt)
+    h0 = jlen * opt.a
+
+    mat = jnp.asarray(opt.score_matrix())
+    flat = lambda a: a.reshape((B * E,) + a.shape[2:])
+    pl = swops.SWParams(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                        opt.zdrop, opt.pen_clip5, opt.a)
+    pr = swops.SWParams(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                        opt.zdrop, opt.pen_clip3, opt.a)
+
+    def run_retry(q, qn, t, tn, h0v, prev, params):
+        """Band-doubling: w then 2w; accept try1 iff the score repeats the
+        caller's previous score or max_off is small
+        (MAX_BAND_TRY=2, bwamem.cpp:49,2927-2950)."""
+        fl = lambda a: a.reshape(-1)
+        r1 = swops.sw_extend(flat(q), fl(qn), flat(t), fl(tn), fl(h0v),
+                             opt.w, mat, params, t_max=TP)
+        r2 = swops.sw_extend(flat(q), fl(qn), flat(t), fl(tn), fl(h0v),
+                             opt.w * 2, mat, params, t_max=TP)
+        take1 = (r1.score == fl(prev)) | \
+            (r1.max_off < ((opt.w >> 1) + (opt.w >> 2)))
+        sel = lambda a, b: jnp.where(take1, a, b).reshape(B, E)
+        res = swops.SWResult(*(sel(x1, x2) for x1, x2 in zip(r1, r2)))
+        w_used = jnp.where(take1, opt.w, opt.w * 2).reshape(B, E)
+        return res, w_used
+
+    do_left = jvalid & (jqb > 0)
+    rl, wl = run_retry(q_left, jnp.where(do_left, qlen_l, 0),
+                       t_left, jnp.where(do_left, tlen_l, 0), h0,
+                       jnp.full((B, E), -1, jnp.int32), pl)
+
+    # apply left results (bwamem.cpp:2952-2961)
+    gs_ok = (rl.gscore <= 0) | (rl.gscore <= rl.score - opt.pen_clip5)
+    qb = jnp.where(do_left,
+                   jnp.where(gs_ok, jqb - rl.qle, 0), 0)
+    rb = jnp.where(do_left,
+                   jnp.where(gs_ok, jrb - rl.tle, jrb - rl.gtle), jrb)
+    # a->score after left = sp->score (not gscore); truesc differs
+    score_mid = jnp.where(do_left, rl.score, jlen * opt.a)
+    truesc = jnp.where(do_left & ~gs_ok, rl.gscore, score_mid)
+    sw_w = jnp.where(do_left, jnp.maximum(opt.w, wl), opt.w)
+
+    # ---- right extension: suffixes ----
+    jqe = jqb + jlen
+    qr_idx = jnp.clip(jqe[:, :, None] + jj, 0, L - 1)
+    q_right = jnp.take_along_axis(
+        codes[:, None, :].repeat(E, 1), qr_idx, axis=2)
+    qlen_r = lens[:, None] - jqe
+    re0 = jrb + jlen
+    tlen_r = jr1 - re0
+    t_right = dref.fetch(re0[:, :, None] + tt)
+
+    do_right = jvalid & (jqe < lens[:, None])
+    rr, wr = run_retry(q_right, jnp.where(do_right, qlen_r, 0),
+                       t_right, jnp.where(do_right, tlen_r, 0),
+                       score_mid, score_mid, pr)
+
+    gs_ok_r = (rr.gscore <= 0) | (rr.gscore <= rr.score - opt.pen_clip3)
+    qe = jnp.where(do_right,
+                   jnp.where(gs_ok_r, jqe + rr.qle, lens[:, None]),
+                   lens[:, None])
+    re = jnp.where(do_right,
+                   jnp.where(gs_ok_r, re0 + rr.tle, re0 + rr.gtle),
+                   re0)
+    score = jnp.where(do_right, rr.score, score_mid)
+    truesc = jnp.where(
+        do_right,
+        truesc + jnp.where(gs_ok_r, rr.score, rr.gscore) - score_mid,
+        truesc)
+    sw_w = jnp.where(do_right, jnp.maximum(sw_w, wr), sw_w)
+
+    # ---- seedcov (bwamem.cpp:2962-2972): chain seeds inside the region ----
+    sc_q = cb.seed_qbeg[:, None, :]
+    sc_r = cb.seed_rbeg[:, None, :]
+    sc_l = cb.seed_len[:, None, :]
+    same_chain = (cb.seed_chain[:, None, :] == jchain[:, :, None]) & \
+        (cb.seed_chain[:, None, :] >= 0)
+    inside = same_chain & (sc_q >= qb[:, :, None]) & \
+        (sc_q + sc_l <= qe[:, :, None]) & (sc_r >= rb[:, :, None]) & \
+        (sc_r + sc_l <= re[:, :, None])
+    seedcov = jnp.sum(jnp.where(inside, sc_l, 0), axis=2)
+
+    return AlnRegBatch(
+        rid=jnp.where(jvalid, jrid, -1), qb=qb, qe=qe, rb=rb, re=re,
+        score=jnp.where(jvalid, score, -1),
+        truesc=jnp.where(jvalid, truesc, -1),
+        sw_w=sw_w, seedcov=seedcov, seedlen0=jlen,
+        frac_rep=cb.frac_rep, valid=jvalid, overflow=overflow,
+    )

@@ -97,8 +97,10 @@ class BatchShapes:
     max_smems: int = 160         # SMEM buffer slots per read
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read
-    max_ext_ref: int = 256       # SW extension ref-segment cap (bandedSWA.h:47)
-    max_ext_query: int = 128     # SW extension query-segment cap (bandedSWA.h:48)
+    max_regs: int = 48           # extension jobs / alignment regions per read
+    # SW extension ref-window cap: must cover read_len + 2*cal_max_gap cap
+    # (= w<<1, bwamem.cpp:75); 151 + 200 rounded up
+    max_ext_ref: int = 368
 
 
 @dataclasses.dataclass(frozen=True)

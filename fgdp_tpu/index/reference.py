@@ -139,19 +139,30 @@ class PackedReference:
                    is_alt=z["is_alt"])
 
 
+@jax.tree_util.register_pytree_node_class
 class DeviceReference:
     """HBM-resident reference arrays + vectorized coordinate ops."""
 
-    def __init__(self, ref: PackedReference):
-        assert 2 * ref.l_pac < 2**31, "shard larger references"
-        self.codes = jnp.asarray(ref.codes, jnp.int32)
-        self.offsets = jnp.asarray(ref.offsets, jnp.int32)  # [n+1]
-        self.is_alt = jnp.asarray(ref.is_alt)
-        self.l_pac = jnp.int32(ref.l_pac)
-        self.n_contigs = len(ref.names)
+    def __init__(self, ref: PackedReference = None, _leaves=None,
+                 _n_contigs=None):
+        if ref is not None:
+            assert 2 * ref.l_pac < 2**31, "shard larger references"
+            self.codes = jnp.asarray(ref.codes, jnp.int32)
+            self.offsets = jnp.asarray(ref.offsets, jnp.int32)  # [n+1]
+            self.is_alt = jnp.asarray(ref.is_alt)
+            self.l_pac = jnp.int32(ref.l_pac)
+            self.n_contigs = len(ref.names)
+        else:
+            self.codes, self.offsets, self.is_alt, self.l_pac = _leaves
+            self.n_contigs = _n_contigs
 
     def tree_flatten(self):
-        return (self.codes, self.offsets, self.is_alt, self.l_pac), self.n_contigs
+        return ((self.codes, self.offsets, self.is_alt, self.l_pac),
+                self.n_contigs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(_leaves=leaves, _n_contigs=aux)
 
     def fetch(self, pos):
         """X[pos] for doubled-space positions (batched); out-of-range -> 4."""

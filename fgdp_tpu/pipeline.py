@@ -1,0 +1,114 @@
+"""Single-host alignment pipeline: FASTQ batches -> SAM lines.
+
+The device program (jitted once per batch shape) runs seeding -> chaining
+-> batched banded-SW extension; the host finishes dedup/patch, primary
+marking, CIGAR and SAM text — mirroring the reference's worker split
+(worker_bwt/worker_aln on compute threads, worker_sam on output,
+src/bwamem.cpp:1800-1850) with the device as the compute side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .align import chain as chainmod
+from .align import extend as extendmod
+from .align import finalize
+from .align.seeding import collect_seeds
+from .config import AlignConfig, BatchShapes
+from .index.fmindex import FMIndex
+from .index.reference import DeviceReference, PackedReference
+from .ops.fm import DeviceFMIndex
+
+
+def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
+                 active, opt: AlignConfig, shapes: BatchShapes):
+    """codes int32[B, L] -> AlnRegBatch (jit-able)."""
+    seeds = collect_seeds(dfm, codes, lens, active, opt,
+                          max_seeds=shapes.max_smems, prev_cap=64)
+    cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
+                              max_seedpos=shapes.max_seeds,
+                              max_chains=shapes.max_chains)
+    regs = extendmod.extend_chains(cb, codes, lens, dref, opt,
+                                   max_regs=shapes.max_regs,
+                                   t_max=shapes.max_ext_ref)
+    return regs
+
+
+class Aligner:
+    """End-to-end single-end aligner over one reference."""
+
+    def __init__(self, pref: PackedReference, fm: FMIndex,
+                 opt: AlignConfig | None = None,
+                 shapes: BatchShapes | None = None):
+        self.pref = pref
+        self.opt = opt or AlignConfig()
+        self.shapes = shapes or BatchShapes()
+        self.dref = DeviceReference(pref)
+        self.dfm = DeviceFMIndex.from_host(fm)
+        self._fn = jax.jit(functools.partial(
+            device_align, opt=self.opt, shapes=self.shapes))
+
+    @classmethod
+    def build(cls, pref: PackedReference, **kw) -> "Aligner":
+        return cls(pref, FMIndex.build(pref.codes), **kw)
+
+    def sam_header(self, rg_line=None):
+        lines = ["@HD\tVN:1.6\tSO:unsorted"]
+        for name, ln in zip(self.pref.names, self.pref.lens):
+            lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+        if rg_line:
+            lines.append(rg_line)
+        lines.append("@PG\tID:fgdp-tpu\tPN:fgdp-tpu\tVN:0.1")
+        return lines
+
+    def align_batch(self, names, seq_codes, quals=None, id0: int = 0):
+        """names: list[str]; seq_codes: list of int arrays (0..4).
+        Returns list of SAM line strings (one or more per read)."""
+        B = len(seq_codes)
+        L = self.shapes.read_len
+        codes = np.full((B, L), 4, np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(seq_codes):
+            n = min(len(s), L)
+            codes[i, :n] = np.asarray(s[:n], np.int32)
+            lens[i] = n
+        regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
+                        jnp.asarray(lens), jnp.ones(B, bool))
+        regs = {k: np.asarray(v) for k, v in regs._asdict().items()}
+        return self._finish(names, seq_codes, quals, regs, id0)
+
+    def _finish(self, names, seq_codes, quals, regs, id0):
+        out = []
+        opt, pref = self.opt, self.pref
+        for b in range(len(seq_codes)):
+            rl = []
+            for e in range(regs["qb"].shape[1]):
+                if not regs["valid"][b, e]:
+                    continue
+                rid = int(regs["rid"][b, e])
+                rl.append(dict(
+                    rid=rid, qb=int(regs["qb"][b, e]),
+                    qe=int(regs["qe"][b, e]), rb=int(regs["rb"][b, e]),
+                    re=int(regs["re"][b, e]),
+                    score=int(regs["score"][b, e]),
+                    truesc=int(regs["truesc"][b, e]),
+                    w=int(regs["sw_w"][b, e]),
+                    seedcov=int(regs["seedcov"][b, e]),
+                    seedlen0=int(regs["seedlen0"][b, e]),
+                    frac_rep=float(regs["frac_rep"][b]),
+                    sub=0, csub=0, sub_n=0,
+                    is_alt=bool(pref.is_alt[rid]) if rid >= 0 else False,
+                ))
+            rl = [r for r in rl if r["qe"] > r["qb"]]
+            codes = np.asarray(seq_codes[b], np.int64)
+            rl = finalize.sort_dedup_patch(pref, opt, codes, rl)
+            finalize.mark_primary(opt, rl, id0 + b)
+            qual = quals[b] if quals else None
+            out.extend(finalize.reg2sam(pref, opt, names[b], codes, qual,
+                                        rl, id0 + b))
+        return out

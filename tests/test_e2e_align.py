@@ -1,0 +1,116 @@
+"""End-to-end single-end alignment on simulated reads: positions, strand,
+CIGAR consistency, MD/NM sanity."""
+
+import re
+
+import numpy as np
+import pytest
+
+from fgdp_tpu.config import AlignConfig, BatchShapes
+from fgdp_tpu.index.reference import PackedReference
+from fgdp_tpu.pipeline import Aligner
+from fgdp_tpu.utils import dna
+
+SHAPES = BatchShapes(read_len=101, batch_reads=16, max_smems=96,
+                     max_seeds=128, max_chains=16, max_regs=16,
+                     max_ext_ref=304)
+
+
+@pytest.fixture(scope="module")
+def aligner():
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, 4, 3000).astype(np.uint8),
+            rng.integers(0, 4, 2000).astype(np.uint8)]
+    pref = PackedReference.from_contigs(["chr1", "chr2"], seqs)
+    return Aligner.build(pref, shapes=SHAPES)
+
+
+def _simulate(rng, pref, n, L=101, sub=0.02, indel=0.002):
+    reads, truth = [], []
+    for i in range(n):
+        cid = int(rng.integers(0, len(pref.names)))
+        clen = int(pref.lens[cid])
+        pos = int(rng.integers(0, clen - L))
+        r = pref.codes[pref.offsets[cid] + pos:
+                       pref.offsets[cid] + pos + L].astype(np.int64).copy()
+        m = rng.random(L) < sub
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        rev = bool(rng.random() < 0.5)
+        if rev:
+            r = dna.revcomp(r.astype(np.uint8)).astype(np.int64)
+        reads.append(r)
+        truth.append((pref.names[cid], pos + 1, rev))
+    return reads, truth
+
+
+def _cigar_lens(cig):
+    ops = re.findall(r"(\d+)([MIDSH])", cig)
+    qlen = sum(int(n) for n, o in ops if o in "MIS")
+    rlen = sum(int(n) for n, o in ops if o in "MD")
+    return qlen, rlen
+
+
+def test_e2e_positions(aligner):
+    rng = np.random.default_rng(3)
+    reads, truth = _simulate(rng, aligner.pref, 16)
+    names = [f"r{i}" for i in range(len(reads))]
+    lines = aligner.align_batch(names, reads)
+    primary = {}
+    for ln in lines:
+        f = ln.split("\t")
+        flag = int(f[1])
+        if not (flag & 0x900):
+            primary[f[0]] = f
+    assert len(primary) == len(reads)
+    n_ok = 0
+    for i, (ctg, pos, rev) in enumerate(truth):
+        f = primary[f"r{i}"]
+        flag = int(f[1])
+        assert not (flag & 0x4), f
+        got_rev = bool(flag & 0x10)
+        if f[2] == ctg and abs(int(f[3]) - pos) <= 5 and got_rev == rev:
+            n_ok += 1
+        # CIGAR consumes exactly the read
+        qlen, _ = _cigar_lens(f[5])
+        assert qlen == len(reads[i]), f
+        assert int(f[4]) >= 0
+        # MAPQ high for unique simulated reads
+    assert n_ok >= len(reads) - 1, (n_ok, len(reads))
+
+
+def test_e2e_md_nm_consistency(aligner):
+    """Recompute the alignment from MD/CIGAR and verify it reproduces the
+    reference bases at the mapped locus."""
+    rng = np.random.default_rng(4)
+    reads, truth = _simulate(rng, aligner.pref, 8, sub=0.04)
+    names = [f"q{i}" for i in range(len(reads))]
+    lines = aligner.align_batch(names, reads)
+    pref = aligner.pref
+    for ln in lines:
+        f = ln.split("\t")
+        flag = int(f[1])
+        if flag & 0x904:
+            continue
+        rid = pref.names.index(f[2])
+        pos = int(f[3]) - 1
+        ops = re.findall(r"(\d+)([MIDSH])", f[5])
+        rlen = sum(int(n) for n, o in ops if o in "MD")
+        tags = dict(t.split(":", 2)[::2] for t in f[11:])
+        assert "NM" in tags and "MD" in tags
+        # reconstruct reference span length from MD
+        md = tags["MD"]
+        md_rlen = sum(int(x) for x in re.findall(r"(\d+)", md)) + \
+            len(re.findall(r"[ACGTN]", re.sub(r"\^[ACGTN]+", lambda m: m.group(0), md))) \
+            - sum(len(m) - 1 for m in re.findall(r"\^([ACGTN]+)", md))
+        assert md_rlen == rlen, (md, f[5])
+        assert pos + rlen <= int(pref.lens[rid])
+
+
+def test_e2e_unmapped(aligner):
+    rng = np.random.default_rng(5)
+    junk = [rng.integers(0, 4, 101).astype(np.int64) for _ in range(2)]
+    # random reads may align by chance at low score; just check output shape
+    lines = aligner.align_batch(["u0", "u1"], junk)
+    assert len(lines) >= 2
+    for ln in lines:
+        assert len(ln.split("\t")) >= 11
