@@ -1,0 +1,77 @@
+"""Driver benchmark: alignment throughput of the device pipeline.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference publishes no numbers (BASELINE.md); the
+north-star target is >=2x reads/s/chip vs a 64-core CPU node running
+bwa-mem2 (~30k reads/s for 151bp WGS on such a node per the IPDPS'19
+paper's scaling; see BASELINE.md) => target ~60k reads/s/chip.
+vs_baseline reports value / 60000.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_READS_PER_S = 60_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fgdp_tpu.config import AlignConfig, BatchShapes
+    from fgdp_tpu.index.fmindex import FMIndex
+    from fgdp_tpu.index.reference import DeviceReference, PackedReference
+    from fgdp_tpu.ops.fm import DeviceFMIndex
+    from fgdp_tpu.pipeline import device_align
+
+    rng = np.random.default_rng(0)
+    n_ref = 2_000_000        # E. coli scale / 2
+    L = 151
+    B = 1024
+    print("building index...", file=sys.stderr)
+    pref = PackedReference.from_contigs(
+        ["chr1"], [rng.integers(0, 4, n_ref).astype(np.uint8)])
+    fm = FMIndex.build(pref.codes)
+    dfm = DeviceFMIndex.from_host(fm)
+    dref = DeviceReference(pref)
+    shapes = BatchShapes(read_len=L, batch_reads=B)
+    opt = AlignConfig()
+
+    # simulated reads with 1% substitutions
+    pos = rng.integers(0, n_ref - L, B)
+    codes = np.stack([pref.codes[p:p + L] for p in pos]).astype(np.int32)
+    m = rng.random(codes.shape) < 0.01
+    codes = np.where(m, rng.integers(0, 4, codes.shape), codes)
+    rev = rng.random(B) < 0.5
+    codes[rev] = 3 - codes[rev][:, ::-1]
+    lens = np.full(B, L, np.int32)
+
+    fn = jax.jit(functools.partial(device_align, opt=opt, shapes=shapes))
+    args = (dfm, dref, jnp.asarray(codes), jnp.asarray(lens),
+            jnp.ones(B, bool))
+    print("compiling...", file=sys.stderr)
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    reads_per_s = B / dt
+    print(json.dumps({
+        "metric": "align_reads_per_s_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / TARGET_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
