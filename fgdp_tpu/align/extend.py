@@ -54,12 +54,21 @@ def _cal_max_gap(opt: AlignConfig, qlen):
 
 
 def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
-                  opt: AlignConfig, max_regs: int, t_max: int) -> AlnRegBatch:
-    """codes int32[B, L] read codes; lens int32[B]. Returns regs [B, E]."""
+                  opt: AlignConfig, max_regs: int, t_max: int,
+                  jobs_per_read: int = 6) -> AlnRegBatch:
+    """codes int32[B, L] read codes; lens int32[B]. Returns regs [B, E].
+
+    SW work is globally compacted: valid (read, seed) extension jobs
+    across the whole batch are gathered into J = B * jobs_per_read lanes
+    (typical reads have ~2-6 jobs; the reference sizes per-thread SeqPair
+    arrays the same way, mem_cache wsize). Jobs beyond J are dropped with
+    the read's overflow flag set.
+    """
     B, P = cb.seed_qbeg.shape
     C = cb.pos.shape[1]
     E = max_regs
     L = codes.shape[1]
+    J = B * jobs_per_read
     bidx = jnp.arange(B)
     l_pac = dref.l_pac
 
@@ -89,7 +98,7 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     rmax0 = jnp.maximum(rmax0, far_beg)
     rmax1 = jnp.minimum(rmax1, far_end)
 
-    # ---- compact jobs to [B, E] ----
+    # ---- compact jobs to [B, E] slots (reg layout), then globally to [J]
     slot = jnp.cumsum(job.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(job & (slot < E), slot, E)
     overflow = jnp.sum(job, axis=1) > E
@@ -107,85 +116,106 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     jr1 = jnp.take_along_axis(rmax1, jnp.clip(jchain, 0, C - 1), axis=1)
     jrid = jnp.take_along_axis(cb.rid, jnp.clip(jchain, 0, C - 1), axis=1)
 
-    # ---- left extension inputs: reversed prefixes ----
-    TP = t_max
-    jj = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    tt = jnp.arange(TP, dtype=jnp.int32)[None, None, :]
-    ql_idx = jnp.clip(jqb[:, :, None] - 1 - jj, 0, L - 1)
-    q_left = jnp.take_along_axis(
-        codes[:, None, :].repeat(E, 1), ql_idx, axis=2)
-    qlen_l = jqb
-    tlen_l = jrb - jr0
-    t_left = dref.fetch(jrb[:, :, None] - 1 - tt)
-    h0 = jlen * opt.a
+    # global compaction: flat index list of valid jobs -> J lanes
+    fvalid = jvalid.reshape(-1)
+    gslot = jnp.cumsum(fvalid.astype(jnp.int32)) - 1
+    gslot = jnp.where(fvalid & (gslot < J), gslot, J)
+    gidx = jnp.zeros(J + 1, jnp.int32).at[gslot].set(
+        jnp.arange(B * E, dtype=jnp.int32), mode="drop")[:J]
+    glive = jnp.zeros(J + 1, bool).at[gslot].set(fvalid, mode="drop")[:J]
+    overflow = overflow | (jnp.sum(jvalid, axis=1) > 0) & \
+        (jnp.sum(fvalid) > J)   # any read may have lost jobs past J
+    g = lambda a: a.reshape(-1)[gidx]
+    gread = gidx // E
+    gqb, grb, glen = g(jqb), g(jrb), g(jlen)
+    gr0, gr1 = g(jr0), g(jr1)
+    glens = lens[gread]
+    gcodes = codes[gread]                                  # [J, L]
 
-    mat = jnp.asarray(opt.score_matrix())
-    flat = lambda a: a.reshape((B * E,) + a.shape[2:])
+    TP = t_max
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    tt = jnp.arange(TP, dtype=jnp.int32)[None, :]
+
+    mat = None
     pl = swops.SWParams(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                        opt.zdrop, opt.pen_clip5, opt.a)
+                        opt.zdrop, opt.pen_clip5, opt.a, opt.b)
     pr = swops.SWParams(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                        opt.zdrop, opt.pen_clip3, opt.a)
+                        opt.zdrop, opt.pen_clip3, opt.a, opt.b)
 
     def run_retry(q, qn, t, tn, h0v, prev, params):
         """Band-doubling: w then 2w; accept try1 iff the score repeats the
         caller's previous score or max_off is small
         (MAX_BAND_TRY=2, bwamem.cpp:49,2927-2950)."""
-        fl = lambda a: a.reshape(-1)
-        r1 = swops.sw_extend(flat(q), fl(qn), flat(t), fl(tn), fl(h0v),
-                             opt.w, mat, params, t_max=TP)
-        r2 = swops.sw_extend(flat(q), fl(qn), flat(t), fl(tn), fl(h0v),
-                             opt.w * 2, mat, params, t_max=TP)
-        take1 = (r1.score == fl(prev)) | \
+        r1 = swops.sw_extend(q, qn, t, tn, h0v, opt.w, mat, params,
+                             t_max=TP)
+        take1 = (r1.score == prev) | \
             (r1.max_off < ((opt.w >> 1) + (opt.w >> 2)))
-        sel = lambda a, b: jnp.where(take1, a, b).reshape(B, E)
+        # rerun only lanes that need the doubled band
+        r2 = swops.sw_extend(q, jnp.where(take1, 0, qn), t,
+                             jnp.where(take1, 0, tn), h0v, opt.w * 2, mat,
+                             params, t_max=TP)
+        sel = lambda a, b: jnp.where(take1, a, b)
         res = swops.SWResult(*(sel(x1, x2) for x1, x2 in zip(r1, r2)))
-        w_used = jnp.where(take1, opt.w, opt.w * 2).reshape(B, E)
+        w_used = jnp.where(take1, opt.w, opt.w * 2)
         return res, w_used
 
-    do_left = jvalid & (jqb > 0)
-    rl, wl = run_retry(q_left, jnp.where(do_left, qlen_l, 0),
-                       t_left, jnp.where(do_left, tlen_l, 0), h0,
-                       jnp.full((B, E), -1, jnp.int32), pl)
+    # ---- left extension: reversed prefixes ----
+    q_left = jnp.take_along_axis(gcodes, jnp.clip(gqb[:, None] - 1 - jj,
+                                                  0, L - 1), axis=1)
+    t_left = dref.fetch(grb[:, None] - 1 - tt)
+    h0 = glen * opt.a
+    do_left = glive & (gqb > 0)
+    rl, wl = run_retry(q_left, jnp.where(do_left, gqb, 0),
+                       t_left, jnp.where(do_left, grb - gr0, 0), h0,
+                       jnp.full(J, -1, jnp.int32), pl)
 
     # apply left results (bwamem.cpp:2952-2961)
     gs_ok = (rl.gscore <= 0) | (rl.gscore <= rl.score - opt.pen_clip5)
-    qb = jnp.where(do_left,
-                   jnp.where(gs_ok, jqb - rl.qle, 0), 0)
-    rb = jnp.where(do_left,
-                   jnp.where(gs_ok, jrb - rl.tle, jrb - rl.gtle), jrb)
+    g_qb = jnp.where(do_left, jnp.where(gs_ok, gqb - rl.qle, 0), 0)
+    g_rb = jnp.where(do_left,
+                     jnp.where(gs_ok, grb - rl.tle, grb - rl.gtle), grb)
     # a->score after left = sp->score (not gscore); truesc differs
-    score_mid = jnp.where(do_left, rl.score, jlen * opt.a)
-    truesc = jnp.where(do_left & ~gs_ok, rl.gscore, score_mid)
-    sw_w = jnp.where(do_left, jnp.maximum(opt.w, wl), opt.w)
+    score_mid = jnp.where(do_left, rl.score, glen * opt.a)
+    g_truesc = jnp.where(do_left & ~gs_ok, rl.gscore, score_mid)
+    g_w = jnp.where(do_left, jnp.maximum(opt.w, wl), opt.w)
 
     # ---- right extension: suffixes ----
-    jqe = jqb + jlen
-    qr_idx = jnp.clip(jqe[:, :, None] + jj, 0, L - 1)
-    q_right = jnp.take_along_axis(
-        codes[:, None, :].repeat(E, 1), qr_idx, axis=2)
-    qlen_r = lens[:, None] - jqe
-    re0 = jrb + jlen
-    tlen_r = jr1 - re0
-    t_right = dref.fetch(re0[:, :, None] + tt)
-
-    do_right = jvalid & (jqe < lens[:, None])
-    rr, wr = run_retry(q_right, jnp.where(do_right, qlen_r, 0),
-                       t_right, jnp.where(do_right, tlen_r, 0),
+    gqe = gqb + glen
+    q_right = jnp.take_along_axis(gcodes, jnp.clip(gqe[:, None] + jj,
+                                                   0, L - 1), axis=1)
+    re0 = grb + glen
+    t_right = dref.fetch(re0[:, None] + tt)
+    do_right = glive & (gqe < glens)
+    rr, wr = run_retry(q_right, jnp.where(do_right, glens - gqe, 0),
+                       t_right, jnp.where(do_right, gr1 - re0, 0),
                        score_mid, score_mid, pr)
 
     gs_ok_r = (rr.gscore <= 0) | (rr.gscore <= rr.score - opt.pen_clip3)
-    qe = jnp.where(do_right,
-                   jnp.where(gs_ok_r, jqe + rr.qle, lens[:, None]),
-                   lens[:, None])
-    re = jnp.where(do_right,
-                   jnp.where(gs_ok_r, re0 + rr.tle, re0 + rr.gtle),
-                   re0)
-    score = jnp.where(do_right, rr.score, score_mid)
-    truesc = jnp.where(
+    g_qe = jnp.where(do_right,
+                     jnp.where(gs_ok_r, gqe + rr.qle, glens), glens)
+    g_re = jnp.where(do_right,
+                     jnp.where(gs_ok_r, re0 + rr.tle, re0 + rr.gtle), re0)
+    g_score = jnp.where(do_right, rr.score, score_mid)
+    g_truesc = jnp.where(
         do_right,
-        truesc + jnp.where(gs_ok_r, rr.score, rr.gscore) - score_mid,
-        truesc)
-    sw_w = jnp.where(do_right, jnp.maximum(sw_w, wr), sw_w)
+        g_truesc + jnp.where(gs_ok_r, rr.score, rr.gscore) - score_mid,
+        g_truesc)
+    g_w = jnp.where(do_right, jnp.maximum(g_w, wr), g_w)
+
+    # scatter back to the [B, E] reg layout
+    def scat(vals, fill):
+        return jnp.full(B * E + 1, fill, vals.dtype).at[
+            jnp.where(glive, gidx, B * E)].set(vals, mode="drop")[
+            :B * E].reshape(B, E)
+
+    qb = scat(g_qb, 0)
+    rb = scat(g_rb, 0)
+    qe = scat(g_qe, 0)
+    re = scat(g_re, 0)
+    score = scat(g_score, -1)
+    truesc = scat(g_truesc, -1)
+    sw_w = scat(g_w, opt.w)
+    jvalid = jvalid & scat(glive, False)   # jobs dropped past J: invalid
 
     # ---- seedcov (bwamem.cpp:2962-2972): chain seeds inside the region ----
     sc_q = cb.seed_qbeg[:, None, :]

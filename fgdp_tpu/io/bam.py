@@ -1,0 +1,220 @@
+"""BAM encode/decode + BAI index (htslib-format replacement, host side).
+
+The reference links stock htslib for BAM/BAI and relies on out-of-tree
+parallel-writer extensions (sortmardup/main.cpp:406-437). This module
+implements the formats directly: records encode independently (so shards
+compress in parallel), and the BAI builder works from the uncompressed
+stream offsets + the BGZF block table (bgzf.VirtualOffsetMap), which is
+exactly the virtual-offset bookkeeping `merge_index`/`hts_idx_finish3`
+performed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import bgzf
+
+_SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NT16_STR = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """BAI bin of [beg, end) (SAM spec section 5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _encode_tags(fields):
+    out = bytearray()
+    for tag in fields:
+        name, typ, val = tag.split(":", 2)
+        out += name.encode()
+        if typ == "i":
+            v = int(val)
+            out += b"i" + struct.pack("<i", v)
+        elif typ == "f":
+            out += b"f" + struct.pack("<f", float(val))
+        elif typ == "A":
+            out += b"A" + val[:1].encode()
+        elif typ == "Z":
+            out += b"Z" + val.encode() + b"\0"
+        elif typ == "H":
+            out += b"H" + val.encode() + b"\0"
+        elif typ == "B":
+            sub = val[0]
+            nums = val[2:].split(",") if len(val) > 2 else []
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i",
+                   "I": "I", "f": "f"}[sub]
+            out += b"B" + sub.encode() + struct.pack("<I", len(nums))
+            for x in nums:
+                out += struct.pack("<" + fmt,
+                                   float(x) if sub == "f" else int(x))
+    return bytes(out)
+
+
+def encode_record(fields, name_to_rid, flag_override=None):
+    """SAM columns (list[str]) -> raw BAM alignment record bytes."""
+    qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual = \
+        fields[:11]
+    flag = int(flag) if flag_override is None else flag_override
+    rid = name_to_rid.get(rname, -1)
+    pos0 = int(pos) - 1
+    from .sam import parse_cigar
+    cig = parse_cigar(cigar)
+    nrid = rid if rnext == "=" else name_to_rid.get(rnext, -1)
+    pnext0 = int(pnext) - 1
+    l_seq = 0 if seq == "*" else len(seq)
+    rlen = sum(ln for op, ln in cig if op in (0, 2, 3, 7, 8))
+    bin_ = reg2bin(pos0, pos0 + max(rlen, 1)) if rid >= 0 else 4680
+    body = bytearray()
+    body += struct.pack("<iiBBHHHiiii", rid, pos0, len(qname) + 1, int(mapq),
+                        bin_, len(cig), flag, l_seq, nrid, pnext0, int(tlen))
+    body += qname.encode() + b"\0"
+    for op, ln in cig:
+        body += struct.pack("<I", ln << 4 | op)
+    if l_seq:
+        s = seq.upper()
+        for i in range(0, l_seq, 2):
+            hi = _SEQ_NT16.get(s[i], 15) << 4
+            lo = _SEQ_NT16.get(s[i + 1], 15) if i + 1 < l_seq else 0
+            body.append(hi | lo)
+        if qual == "*":
+            body += b"\xff" * l_seq
+        else:
+            body += bytes(max(0, min(93, ord(c) - 33)) for c in qual)
+    body = bytes(body)
+    return struct.pack("<I", len(body)) + body
+
+
+def bam_header_bytes(text: str, names, lens) -> bytes:
+    out = bytearray(b"BAM\1")
+    t = text.encode()
+    out += struct.pack("<i", len(t)) + t
+    out += struct.pack("<i", len(names))
+    for n, l in zip(names, lens):
+        nb = n.encode() + b"\0"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
+    return bytes(out)
+
+
+class BaiBuilder:
+    """BAI index accumulated from (rid, pos, end, voffset_beg, voffset_end)
+    in coordinate order (hts_idx_push semantics)."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+        self.bins = [dict() for _ in range(n_ref)]    # bin -> [chunks]
+        self.linear = [dict() for _ in range(n_ref)]  # 16kb win -> min voff
+        self.unmapped_voff_start = None
+        self.n_no_coor = 0
+
+    def add(self, rid, beg, end, voff_beg, voff_end):
+        if rid < 0:
+            self.n_no_coor += 1
+            return
+        b = reg2bin(beg, end)
+        chunks = self.bins[rid].setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_beg:
+            chunks[-1] = (chunks[-1][0], voff_end)
+        else:
+            chunks.append((voff_beg, voff_end))
+        for w in range(beg >> 14, max(end - 1, beg) >> 14):
+            self.linear[rid].setdefault(w, voff_beg)
+        self.linear[rid].setdefault(max(end - 1, beg) >> 14, voff_beg)
+        for w in range(beg >> 14, (max(end - 1, beg) >> 14) + 1):
+            if self.linear[rid][w] > voff_beg:
+                self.linear[rid][w] = voff_beg
+
+    def tobytes(self) -> bytes:
+        out = bytearray(b"BAI\1")
+        out += struct.pack("<i", self.n_ref)
+        for rid in range(self.n_ref):
+            bins = self.bins[rid]
+            out += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                chunks = bins[b]
+                out += struct.pack("<Ii", b, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            lin = self.linear[rid]
+            n_win = (max(lin) + 1) if lin else 0
+            out += struct.pack("<i", n_win)
+            filled = 0
+            for w in range(n_win):
+                v = lin.get(w, filled)
+                if w in lin:
+                    filled = lin[w]
+                out += struct.pack("<Q", v)
+        out += struct.pack("<Q", self.n_no_coor)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# reader (for verification + downstream Mutect2 ingestion)
+# ---------------------------------------------------------------------------
+
+def read_bam(path):
+    """Inflate + decode a BAM file -> (header_text, names, lens, records).
+    Each record is a dict of core fields + raw tag bytes."""
+    with open(path, "rb") as f:
+        data = bgzf.decompress(f.read())
+    assert data[:4] == b"BAM\1"
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    text = data[8:8 + l_text].decode(errors="replace")
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    names, lens = [], []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        names.append(data[off:off + l_name - 1].decode())
+        off += l_name
+        lens.append(struct.unpack_from("<i", data, off)[0])
+        off += 4
+    records = []
+    while off + 4 <= len(data):
+        sz = struct.unpack_from("<I", data, off)[0]
+        off += 4
+        rec = data[off:off + sz]
+        off += sz
+        (rid, pos, l_qname, mapq, bin_, n_cig, flag, l_seq, nrid, npos,
+         tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+        p = 32
+        qname = rec[p:p + l_qname - 1].decode()
+        p += l_qname
+        cig = []
+        for _ in range(n_cig):
+            v = struct.unpack_from("<I", rec, p)[0]
+            p += 4
+            cig.append((v & 0xf, v >> 4))
+        seq = []
+        for i in range(l_seq):
+            b = rec[p + (i >> 1)]
+            seq.append(_NT16_STR[(b >> 4) if i % 2 == 0 else (b & 0xf)])
+        p += (l_seq + 1) // 2
+        qual = rec[p:p + l_seq]
+        p += l_seq
+        records.append(dict(qname=qname, flag=flag, rid=rid, pos=pos,
+                            mapq=mapq, cigar=cig, next_rid=nrid,
+                            next_pos=npos, tlen=tlen, seq="".join(seq),
+                            qual=bytes(qual), tags=bytes(rec[p:])))
+    return text, names, lens, records
+
+
+def cigar_to_str(cig):
+    return "".join(f"{ln}{_CIGAR_OPS[op]}" for op, ln in cig) if cig else "*"

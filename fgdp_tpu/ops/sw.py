@@ -33,7 +33,9 @@ class SWParams(NamedTuple):
     e_ins: int
     zdrop: int
     end_bonus: int  # pen_clip of the extension side (w-cap term only)
-    mat_max: int    # max substitution score (opt.a)
+    mat_max: int    # match score a (also the max entry of the matrix)
+    mat_mis: int = 4   # mismatch penalty b (positive)
+    mat_amb: int = -1  # score vs N (bwa_fill_scmat: -1)
 
 
 class SWResult(NamedTuple):
@@ -49,8 +51,11 @@ def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
               t_max: int | None = None) -> SWResult:
     """Batched extension SW. query int32[B, QP], target int32[B, TP]
     (codes 0..4), qlen/tlen/h0 int32[B], w python int (band width before
-    per-lane clamping), mat int32[5, 5]. Lanes with qlen<=0 or tlen<=0
-    return (h0, 0, 0, 0, -1, 0) like the reference caller's skip path.
+    per-lane clamping). `mat` is accepted for signature stability but the
+    score is computed arithmetically (bwa_fill_scmat is structural: match
+    a / mismatch -b / anything-vs-N -1) — no [5, B, QP] profile gather.
+    Lanes with qlen<=0 or tlen<=0 return (h0, 0, 0, 0, -1, 0) like the
+    caller's skip path.
     """
     B, QP = query.shape
     TP = target.shape[1] if t_max is None else t_max
@@ -75,10 +80,7 @@ def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
                      jnp.where(jr <= qlen[:, None], jnp.maximum(ramp, 0), 0))
     eh_e = jnp.zeros((B, QP + 2), jnp.int32)
 
-    # substitution profile: prof[c, j] = mat[c, query[j]]
-    qcl = jnp.clip(query, 0, 4)
-    prof = mat[:, :].astype(jnp.int32)[jnp.arange(5)[:, None, None],
-                                       qcl[None, :, :]]      # [5, B, QP]
+    qcl = jnp.clip(query, 0, 4).astype(jnp.int32)
 
     st = dict(
         eh_h=eh_h, eh_e=eh_e,
@@ -88,8 +90,6 @@ def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
         gscore=jnp.full(B, -1, jnp.int32), max_off=jnp.zeros(B, jnp.int32),
         dead=(qlen <= 0) | (tlen <= 0),
     )
-    bidx = jnp.arange(B)
-
     def row(i, st):
         i = jnp.int32(i)
         active = ~st["dead"] & (i < tlen)
@@ -102,7 +102,10 @@ def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
         tbase = jax.lax.dynamic_index_in_dim(
             target, jnp.minimum(i, target.shape[1] - 1), axis=1,
             keepdims=False)
-        q = prof[jnp.clip(tbase, 0, 4), bidx]               # [B, QP]
+        tb = tbase[:, None]
+        q = jnp.where((tb >= 4) | (qcl >= 4), jnp.int32(p.mat_amb),
+                      jnp.where(qcl == tb, jnp.int32(p.mat_max),
+                                jnp.int32(-p.mat_mis)))     # [B, QP]
 
         in_band = (jq >= beg[:, None]) & (jq < end[:, None])
         Hprev = st["eh_h"][:, :QP]                          # H(i-1, j-1)
@@ -189,7 +192,16 @@ def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
             dead=st["dead"] | died_zero | zdie,
         )
 
-    st = jax.lax.fori_loop(0, TP, row, st)
+    # early exit once every lane is dead or past its target length
+    def cond(c):
+        i, st = c
+        return (i < TP) & jnp.any(~st["dead"] & (i < tlen))
+
+    def body(c):
+        i, st = c
+        return (i + 1, row(i, st))
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
     return SWResult(score=st["mx"], qle=st["max_j"] + 1, tle=st["max_i"] + 1,
                     gtle=st["max_ie"] + 1, gscore=st["gscore"],
                     max_off=st["max_off"])

@@ -370,6 +370,78 @@ def banded_swa_ref(query, target, w, h0, o_del, e_del, o_ins, e_ins,
                 gscore=gscore, max_off=max_off)
 
 
+# ---------- scalar port of sortmardup duplicate marking ----------
+
+def mark_duplicates_ref(records, ref_len):
+    """Scalar transcription of the sortmardup dup scan
+    (sortmardup/main.cpp:236-346; keys tbb/pair.cpp:52-110).
+
+    records: SamRecords (io/sam.py). Returns set of duplicate pair_ids.
+    """
+    from ..io.sam import FREVERSE
+
+    # build pairs
+    by_pid = {}
+    for i in range(len(records)):
+        pid = int(records.pair_id[i])
+        if pid:
+            by_pid.setdefault(pid, []).append(i)
+    singles, doubles = [], []
+    indicator = set()
+    for pid, idxs in by_pid.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            rev = bool(records.flag[i] & FREVERSE)
+            singles.append(dict(
+                key=(int(records.prime5[i]), 3 if rev else 0),
+                score=int(records.score[i]),
+                txy=(int(records.tile[i]), int(records.tx[i]),
+                     int(records.ty[i])),
+                pid=pid, rev=rev))
+        else:
+            i1, i2 = idxs[0], idxs[1]
+            p1, p2 = int(records.prime5[i1]), int(records.prime5[i2])
+            r1 = bool(records.flag[i1] & FREVERSE)
+            r2 = bool(records.flag[i2] & FREVERSE)
+            if p1 > p2:
+                p1, p2 = p2, p1
+                r1, r2 = r2, r1
+            orient = (2 if r1 else 0) + (1 if r2 else 0)
+            if p1 == p2 and orient == 2:
+                orient = 1   # RF -> FR when equal
+            doubles.append(dict(key=(p1, orient, p2),
+                                score=int(records.score[i1]) +
+                                int(records.score[i2]),
+                                txy=(int(records.tile[i1]),
+                                     int(records.tx[i1]),
+                                     int(records.ty[i1])),
+                                pid=pid))
+            indicator.add(p1 + (ref_len if orient >= 2 else 0))
+            indicator.add(p2 + (ref_len if orient & 1 else 0))
+    dups = set()
+    doubles.sort(key=lambda d: (d["key"], -d["score"], d["txy"]))
+    i = 0
+    while i < len(doubles):
+        j = i + 1
+        while j < len(doubles) and doubles[j]["key"] == doubles[i]["key"]:
+            dups.add(doubles[j]["pid"])
+            j += 1
+        i = j
+    singles.sort(key=lambda d: (d["key"], -d["score"], d["txy"]))
+    i = 0
+    while i < len(singles):
+        s = singles[i]
+        target = s["key"][0] + (ref_len if s["rev"] else 0)
+        if target in indicator:
+            dups.add(s["pid"])
+        j = i + 1
+        while j < len(singles) and singles[j]["key"] == singles[i]["key"]:
+            dups.add(singles[j]["pid"])
+            j += 1
+        i = j
+    return dups
+
+
 # ---------- PairHMM forward (GATK semantics, log-space float64) ----------
 
 def pairhmm_loglik(hap: np.ndarray, read: np.ndarray, q: np.ndarray,

@@ -1,0 +1,102 @@
+"""sortmardup parity: duplicate marking vs scalar oracle; BAM round-trip."""
+
+import numpy as np
+import pytest
+
+from fgdp_tpu.io import bam as bamio
+from fgdp_tpu.io.sam import FDUP, SamHeader, parse_sam_records
+from fgdp_tpu.sortdup import driver
+from fgdp_tpu.testing import oracles
+
+HEADER = ["@HD\tVN:1.6\tSO:unsorted",
+          "@SQ\tSN:chr1\tLN:10000",
+          "@SQ\tSN:chr2\tLN:5000"]
+
+
+def _rec(qname, flag, rname, pos, cigar="100M", mapq=60, rnext="*",
+         pnext=0, tlen=0, seq=None, qual=None):
+    seq = seq or "A" * 100
+    qual = qual or "I" * 100
+    return "\t".join([qname, str(flag), rname, str(pos), str(mapq), cigar,
+                      rnext, str(pnext), str(tlen), seq, qual])
+
+
+def _random_sam(rng, n_pairs=200, n_singles=60):
+    lines = []
+    # paired reads clustered on few positions to force duplicates
+    hot = [int(rng.integers(1, 9000)) for _ in range(max(n_pairs // 4, 1))]
+    for i in range(n_pairs):
+        pos1 = hot[int(rng.integers(0, len(hot)))] + int(rng.integers(0, 2))
+        pos2 = pos1 + int(rng.integers(50, 300))
+        tile, x, y = (int(rng.integers(1, 100)), int(rng.integers(1, 30000)),
+                      int(rng.integers(1, 30000)))
+        q = f"M1:5:FC:1:{tile}:{x}:{y}.{i}" if rng.random() < 0.2 else \
+            f"M1:5:FC:1:{tile}:{x}:{y}"
+        q = f"p{i}:M1:5:FC:1:{tile}:{x}:{y}"[:0] or f"M1:{i}:FC:1:{tile}:{x}:{y}"
+        qual = "".join(chr(33 + int(rng.integers(2, 41))) for _ in range(100))
+        cig1 = "100M" if rng.random() < 0.7 else "5S95M"
+        cig2 = "100M" if rng.random() < 0.7 else "90M10S"
+        lines.append(_rec(q, 0x63, "chr1", pos1, cig1, rnext="=",
+                          pnext=pos2, tlen=pos2 - pos1 + 100, qual=qual))
+        lines.append(_rec(q, 0x93, "chr1", pos2, cig2, rnext="=",
+                          pnext=pos1, tlen=-(pos2 - pos1 + 100), qual=qual))
+    for i in range(n_singles):
+        pos = hot[int(rng.integers(0, len(hot)))]
+        flag = 0 if rng.random() < 0.5 else 0x10
+        q = f"S1:{i}:FC:1:{int(rng.integers(1, 90))}:{i+1}:{i+2}"
+        qual = "".join(chr(33 + int(rng.integers(2, 41))) for _ in range(100))
+        on_chr2 = rng.random() < 0.3
+        lines.append(_rec(q, flag, "chr2" if on_chr2 else "chr1",
+                          min(pos, 4800) if on_chr2 else pos, qual=qual))
+    # some ignorables
+    lines.append(_rec("U1:0:FC:1:9:9:9", 0x4, "*", 0, "*"))
+    lines.append(_rec("M1:0:FC:1:9:9:9", 0x100, "chr1", 100))
+    return lines
+
+
+def test_dup_parity(rng):
+    lines = _random_sam(rng)
+    header = SamHeader.parse(HEADER)
+    recs = parse_sam_records(lines, header)
+    ref_len = int(header.ktable()[-1])
+    got = driver.find_duplicates(recs, ref_len)
+    exp = oracles.mark_duplicates_ref(recs, ref_len)
+    assert got == exp
+    assert len(exp) > 0   # the clustered sim must produce duplicates
+
+
+def test_sorted_bam_roundtrip(rng, tmp_path):
+    lines = _random_sam(rng, n_pairs=60, n_singles=20)
+    out = tmp_path / "out.bam"
+    n, ndup = driver.sort_markdup(HEADER + lines, out)
+    assert n == len(lines)
+    text, names, lens, records = bamio.read_bam(out)
+    assert names == ["chr1", "chr2"]
+    assert lens == [10000, 5000]
+    assert len(records) == len(lines)
+    # coordinate order
+    keys = [(r["rid"] if r["rid"] >= 0 else 1 << 30, r["pos"])
+            for r in records]
+    assert keys == sorted(keys)
+    # dup flags match the oracle
+    header = SamHeader.parse(HEADER)
+    recs = parse_sam_records(lines, header)
+    exp = oracles.mark_duplicates_ref(recs, int(header.ktable()[-1]))
+    pid_of = {}
+    for i in range(len(recs)):
+        pid_of[(recs.qname[i], int(recs.flag[i]))] = int(recs.pair_id[i])
+    for r in records:
+        pid = pid_of.get((r["qname"], r["flag"] & ~FDUP), 0)
+        assert bool(r["flag"] & FDUP) == (pid in exp), r["qname"]
+    # index exists and parses
+    bai = (str(out) + ".bai")
+    with open(bai, "rb") as f:
+        assert f.read(4) == b"BAI\1"
+
+
+def test_bgzf_roundtrip(rng):
+    from fgdp_tpu.io import bgzf
+    data = rng.integers(0, 256, 300000).astype(np.uint8).tobytes()
+    comp, table = bgzf.compress_stream(data)
+    assert bgzf.decompress(comp) == data
+    assert len(table) == -(-len(data) // bgzf.MAX_BLOCK)
