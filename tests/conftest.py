@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compile cache: the parity suites re-jit large programs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_fgdp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 import pytest

@@ -1,0 +1,89 @@
+"""PairHMM device kernel vs the float64 linear-space oracle."""
+
+import numpy as np
+
+from fgdp_tpu.ops import pairhmm
+from fgdp_tpu.testing import oracles
+
+
+def _random_cases(rng, n, rmax=48, hmax=80):
+    R, H = rmax, hmax
+    reads = np.zeros((n, R), np.int32)
+    haps = np.zeros((n, H), np.int32)
+    rlens = np.zeros(n, np.int32)
+    hlens = np.zeros(n, np.int32)
+    q = np.zeros((n, R), np.int32)
+    iq = np.zeros((n, R), np.int32)
+    dq = np.zeros((n, R), np.int32)
+    cq = np.full((n, R), 10, np.int32)
+    for k in range(n):
+        hl = int(rng.integers(20, hmax + 1))
+        rl = int(rng.integers(10, rmax + 1))
+        hap = rng.integers(0, 4, hl)
+        off = int(rng.integers(0, max(hl - rl, 1)))
+        read = hap[off:off + rl].copy()
+        rl = len(read)
+        mut = rng.random(rl) < 0.08
+        read = np.where(mut, rng.integers(0, 4, rl), read)
+        reads[k, :rl] = read
+        haps[k, :hl] = hap
+        rlens[k], hlens[k] = rl, hl
+        q[k, :rl] = rng.integers(10, 40, rl)
+        iq[k, :rl] = rng.integers(30, 46, rl)
+        dq[k, :rl] = rng.integers(30, 46, rl)
+    return reads, rlens, q, iq, dq, cq, haps, hlens
+
+
+def test_pairhmm_vs_oracle(rng):
+    n = 24
+    reads, rlens, q, iq, dq, cq, haps, hlens = _random_cases(rng, n)
+    got = pairhmm.compute_log_likelihoods(reads, rlens, q, iq, dq, cq,
+                                          haps, hlens)
+    for k in range(n):
+        exp = oracles.pairhmm_loglik(
+            haps[k, :hlens[k]], reads[k, :rlens[k]], q[k, :rlens[k]],
+            iq[k, :rlens[k]], dq[k, :rlens[k]], cq[k, :rlens[k]])
+        assert abs(got[k] - exp) < 2e-3, (k, got[k], exp)
+
+
+def test_pairhmm_perfect_match_high_lik(rng):
+    reads, rlens, q, iq, dq, cq, haps, hlens = _random_cases(rng, 4)
+    # perfect copies, high quals
+    for k in range(4):
+        reads[k, :rlens[k]] = haps[k, :rlens[k]]
+        hlens[k] = max(hlens[k], rlens[k])
+        q[k, :rlens[k]] = 40
+    got = pairhmm.compute_log_likelihoods(reads, rlens, q, iq, dq, cq,
+                                          haps, hlens)
+    # log10 lik of a perfect match ~ log10(1/H) + small qual losses
+    for k in range(4):
+        assert got[k] > np.log10(1.0 / hlens[k]) - 1.0, (k, got[k])
+
+
+def test_match_to_match_table():
+    """Spot-check the Jacobian-table matchToMatch against direct math."""
+    t = pairhmm._match_to_match_prob()
+    for i, j in [(30, 30), (40, 35), (10, 2), (45, 45)]:
+        mx, mn = max(i, j), min(i, j)
+        got = t[(mx * (mx + 1)) // 2 + mn]
+        exp = 1.0 - (10 ** (-0.1 * i) + 10 ** (-0.1 * j))
+        assert abs(got - exp) < 1e-4, (i, j, got, exp)
+
+
+def test_pairhmm_f64_fallback(rng):
+    """A hopeless read (all mismatches, long) must route through the f64
+    path and still return a finite, very low likelihood."""
+    R, H = 120, 160
+    hap = rng.integers(0, 4, H).astype(np.int32)
+    read = ((hap[:R] + 1) % 4).astype(np.int32)
+    reads = read[None, :]
+    haps = hap[None, :]
+    q = np.full((1, R), 40, np.int32)
+    iq = np.full((1, R), 45, np.int32)
+    dq = np.full((1, R), 45, np.int32)
+    cq = np.full((1, R), 10, np.int32)
+    got = pairhmm.compute_log_likelihoods(
+        reads, np.array([R], np.int32), q, iq, dq, cq, haps,
+        np.array([H], np.int32))
+    assert np.isfinite(got[0])
+    assert got[0] < -100
