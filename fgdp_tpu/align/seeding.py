@@ -31,24 +31,37 @@ INT32_MAX = jnp.int32(2**31 - 1)
 
 
 def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
-                  max_seeds: int, prev_cap: int, k2_rounds: int = 8) -> SeedBatch:
-    """Returns per-read seed buffers sorted by (m, n); codes int32[B, L]."""
+                  max_seeds: int, prev_cap: int, anchors_per_read: int = 24,
+                  k2_per_read: int = 6, lane_emit_cap: int = 16) -> SeedBatch:
+    """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
+
+    K1 runs anchor-parallel: anchor positions are discovered by a light
+    all-position forward pass + pointer doubling, then the full one-pos
+    machine runs one lane per (read, anchor) — and K2 jobs reuse the same
+    flattened machine (ops/smem.py). Capacities: NA = B*anchors_per_read
+    anchor lanes, NK = B*k2_per_read K2 lanes; excess flags overflow.
+    """
     B, L = codes.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    bidx = jnp.arange(B)
 
-    # --- K1 ---
+    # --- K1: frontier anchor sweep. Random FM gathers are row-count
+    # bound on TPU (~50M rows/s through XLA); with only a handful of
+    # anchors per read the sequential frontier does far fewer speculative
+    # gathers than the anchor-parallel discovery pass (smem_all_pos vs
+    # anchor_next_x — the latter remains for dense-anchor inputs). ---
     seeds = smemops.smem_all_pos(dfm, codes, lens, jnp.ones(B, jnp.int32),
-                                 active, opt.min_seed_len, max_seeds, prev_cap)
+                                 active, opt.min_seed_len, max_seeds,
+                                 prev_cap)
     k1_count = seeds.count
 
-    # --- K2: derive per-read job lists from K1 output ---
+    # --- K2: derive per-read job lists from K1 output (matchArray order) ---
     S = seeds.m.shape[1]
     slot_valid = jnp.arange(S)[None, :] < k1_count[:, None]
     qual = slot_valid & ((seeds.n + 1 - seeds.m) >= split_len) & \
         (seeds.s <= opt.split_width)
     rank = jnp.cumsum(qual.astype(jnp.int32), axis=1) - 1   # job index per slot
-    J = k2_rounds
-    bidx = jnp.arange(B)
+    J = k2_per_read
     slot = jnp.where(qual & (rank < J), rank, J)
     job_x = jnp.zeros((B, J), jnp.int32).at[bidx[:, None], slot].set(
         (seeds.m + seeds.n + 1) >> 1, mode="drop")
@@ -57,14 +70,14 @@ def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
     n_jobs = jnp.sum(qual, axis=1).astype(jnp.int32)
     k2_overflow = n_jobs > J
 
-    def k2_round(r, seeds):
-        on = active & (n_jobs > r)
-        seeds, _ = smemops.smem_one_pos(dfm, codes, lens, job_x[:, r],
-                                        job_mi[:, r], on, opt.min_seed_len,
-                                        seeds, prev_cap)
-        return seeds
-
-    seeds = jax.lax.fori_loop(0, J, k2_round, seeds)
+    k_read = jnp.repeat(jnp.arange(B, dtype=jnp.int32), J)
+    k_ord = jnp.tile(jnp.arange(J, dtype=jnp.int32), B)
+    k_on = k_ord < n_jobs[k_read]
+    k2lanes = smemops.smem_one_pos_lanes(
+        dfm, codes, lens, k_read, job_x.reshape(-1), job_mi.reshape(-1),
+        k_on, opt.min_seed_len, prev_cap, lane_emit_cap)
+    seeds = smemops.merge_lane_seeds(k2lanes, k_read, k_ord, k_on, B,
+                                     max_seeds, into=seeds)
 
     # --- K3 ---
     if opt.max_mem_intv > 0:

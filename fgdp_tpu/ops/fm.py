@@ -29,11 +29,16 @@ _EVEN = np.uint32(0x55555555)
 
 
 class DeviceFMIndex(NamedTuple):
-    """FM-index arrays resident in HBM. See index/fmindex.py for layout."""
+    """FM-index arrays resident in HBM. See index/fmindex.py for layout.
+
+    The checkpoint counts and the packed BWT word of each block are fused
+    into ONE row (cols 0-3 counts, col 4 word) so every rank query costs a
+    single gather row — XLA/TPU gathers are row-count-bound, and random
+    HBM gathers are the dominant cost of FM search (SURVEY §7.3 #1).
+    """
 
     counts: jax.Array        # int32[5]   C array (sentinel rank 0)
-    occ: jax.Array           # int32[nblocks, 4] checkpoint counts
-    bwt_words: jax.Array     # uint32[nblocks]   packed BWT codes
+    occ_fused: jax.Array     # int32[nblocks, 8]: [c0..c3, word, pad x3]
     sa: jax.Array            # int32[N]   full suffix array
     sentinel_row: jax.Array  # int32 scalar
     n_ref: jax.Array         # int32 scalar (forward reference length)
@@ -41,10 +46,14 @@ class DeviceFMIndex(NamedTuple):
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFMIndex":
+        import numpy as _np
+        nblocks = fm.occ.shape[0]
+        fused = _np.zeros((nblocks, 8), _np.int32)
+        fused[:, :4] = fm.occ
+        fused[:, 4] = fm.bwt_words.view(_np.int32)
         return cls(
             counts=jnp.asarray(fm.counts, jnp.int32),
-            occ=jnp.asarray(fm.occ, jnp.int32),
-            bwt_words=jnp.asarray(fm.bwt_words, jnp.uint32),
+            occ_fused=jnp.asarray(fused),
             sa=jnp.asarray(fm.sa, jnp.int32),
             sentinel_row=jnp.int32(fm.sentinel_row),
             n_ref=jnp.int32(fm.n_ref),
@@ -55,14 +64,15 @@ class DeviceFMIndex(NamedTuple):
 def occ4(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
     """Occ(c, i) for all four bases at once; i int32[...] -> int32[..., 4].
 
-    One checkpoint-row + one word gather per position; the four per-base
-    in-block ranks come from the same word via masked popcounts.
+    One fused checkpoint-row gather per position; the four per-base
+    in-block ranks come from the row's word via masked popcounts.
     """
     i = i.astype(jnp.int32)
     blk = i >> 4
     rem = (i & 15).astype(jnp.uint32)
-    base = jnp.take(fm.occ, blk, axis=0, mode="clip")          # (..., 4)
-    word = jnp.take(fm.bwt_words, blk, axis=0, mode="clip")    # (...,)
+    row = jnp.take(fm.occ_fused, blk, axis=0, mode="clip")     # (..., 8)
+    base = row[..., :4]
+    word = row[..., 4].astype(jnp.uint32)
     b0 = word & _EVEN
     b1 = (word >> 1) & _EVEN
     prefix = (jnp.uint32(1) << (rem << 1)) - jnp.uint32(1)     # bits of codes < rem

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import fm as fmops
 from .fm import DeviceFMIndex
@@ -230,6 +231,318 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
     seeds = _append_seed(st["seeds"], emit, st["pm"][:, 0], st["pn"][:, 0],
                          st["pk"][:, 0], st["ps"][:, 0])
     return seeds, next_x
+
+
+# --------------------------------------------------------------------------
+# Anchor-parallel K1: anchor discovery + flattened one-pos lanes
+# --------------------------------------------------------------------------
+#
+# getSMEMsAllPosOneThread walks anchors sequentially (x' = next_x from the
+# forward pass). That serial chain is the throughput killer on SPMD: ~20
+# anchors x ~300 lockstep steps each. Instead: (1) a light forward machine
+# computes next_x(x) for EVERY position at once, (2) pointer doubling
+# extracts the anchor chain from x=0, (3) the full one-pos machine runs
+# with one lane per (read, anchor) — ~300 lockstep steps total.
+
+
+def anchor_next_x(fm: DeviceFMIndex, codes, lens):
+    """next_x(x) for all positions: int32[B, L+1] (entry L = terminator).
+    Matches the forward-phase next_x of getSMEMsOnePosOneThread
+    (FMI_search.cpp:1170-1260) with min_intv=1."""
+    B, L = codes.shape
+    xs = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    flat = lambda a: a.reshape(-1)
+    x = flat(xs)
+    ridx = flat(jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                                 (B, L)))
+    lens_l = lens[ridx]
+    a0 = _read_base_at(codes, ridx, x)
+    k0, l0, s0 = fmops.init_interval(fm, a0)
+    started = (a0 < 4) & (x < lens_l)
+
+    st = dict(t=jnp.int32(0), k=k0, l=l0,
+              s=jnp.where(started, s0, 0),
+              next_x=x + 1, alive=started)
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["t"] < L)
+
+    def body(st):
+        j = x + 1 + st["t"]
+        in_range = st["alive"] & (j < lens_l)
+        a = _read_base_at(codes, ridx, j)
+        ext = in_range & (a < 4)
+        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
+        die = ext & (ns < 1)
+        take = ext & ~die
+        next_x = jnp.where(in_range, j + 1, st["next_x"])
+        next_x = jnp.where(die, j, next_x)
+        return dict(t=st["t"] + 1,
+                    k=jnp.where(take, nk, st["k"]),
+                    l=jnp.where(take, nl, st["l"]),
+                    s=jnp.where(take, ns, st["s"]),
+                    next_x=next_x, alive=take)
+
+    st = jax.lax.while_loop(cond, body, st)
+    nxt = st["next_x"].reshape(B, L)
+    nxt = jnp.clip(nxt, 0, L)
+    return jnp.concatenate([nxt, jnp.full((B, 1), L, jnp.int32)], axis=1)
+
+
+def anchor_chain(nxt, lens, B, L):
+    """Mark positions on the chain x0=0, x_{k+1}=nxt[x_k] by pointer
+    doubling; also caps at per-read length. Returns bool[B, L]."""
+    term = jnp.minimum(lens, L)[:, None]
+    ptr = jnp.where(nxt >= term, L, nxt)       # clamp to terminator slot L
+    visited = jnp.zeros((B, L + 1), bool).at[:, 0].set(True)
+    bidx = jnp.arange(B)[:, None]
+    ptr = jnp.concatenate([ptr, jnp.full((B, 1), L, jnp.int32)], axis=1)
+    steps = max(1, int(np.ceil(np.log2(max(L, 2)))) + 1)
+    for _ in range(steps):
+        tgt = jnp.where(visited, ptr[:, :L + 1], L)
+        visited = visited.at[bidx, tgt].max(visited)
+        ptr = jnp.take_along_axis(ptr, jnp.minimum(ptr, L), axis=1)
+    vis = visited[:, :L]
+    pos_ok = jnp.arange(L)[None, :] < lens[:, None]
+    return vis & pos_ok
+
+
+def _read_base_at(codes, ridx, j):
+    """codes[ridx, j] with out-of-range -> 4; ridx/j int32[NL]."""
+    B, L = codes.shape
+    jj = jnp.clip(j, 0, L - 1)
+    a = codes[ridx, jj].astype(jnp.int32)
+    return jnp.where((j >= 0) & (j < L), a, 4)
+
+
+class LaneSeeds(NamedTuple):
+    """Per-lane emission buffers for the flattened one-pos machine."""
+
+    m: jax.Array        # int32[NL, SA]
+    n: jax.Array
+    k: jax.Array
+    s: jax.Array
+    count: jax.Array    # int32[NL]
+    overflow: jax.Array  # bool[NL]
+
+
+def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
+                       active, min_seed_len: int, prev_cap: int,
+                       max_out: int) -> LaneSeeds:
+    """getSMEMsOnePosOneThread over NL independent (read, anchor) lanes.
+    codes int32[B, L]; ridx/x/min_intv int32[NL]; active bool[NL].
+    Emissions land in per-lane buffers in machine order."""
+    NL = ridx.shape[0]
+    B, L = codes.shape
+    P = prev_cap
+    SA = max_out
+    lidx = jnp.arange(NL)
+    lens_l = lens[ridx]
+
+    a0 = _read_base_at(codes, ridx, x)
+    started = active & (a0 < 4) & (x < lens_l)
+    k0, l0, s0 = fmops.init_interval(fm, a0)
+
+    pz = jnp.zeros((NL, P), jnp.int32)
+    fwd0 = dict(
+        t=jnp.int32(0),
+        k=k0, l=l0, s=jnp.where(started, s0, 0), n=x,
+        num_prev=jnp.zeros(NL, jnp.int32),
+        pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
+        alive=started,
+    )
+
+    def fwd_cond(st):
+        return jnp.any(st["alive"]) & (st["t"] < L)
+
+    def fwd_body(st):
+        j = x + 1 + st["t"]
+        in_range = st["alive"] & (j < lens_l)
+        a = _read_base_at(codes, ridx, j)
+        ext = in_range & (a < 4)
+        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
+        changed = ns != st["s"]
+        push = ext & changed
+        slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
+        pm = st["pm"].at[lidx, slot].set(x, mode="drop")
+        pn = st["pn"].at[lidx, slot].set(st["n"], mode="drop")
+        pk = st["pk"].at[lidx, slot].set(st["k"], mode="drop")
+        pl = st["pl"].at[lidx, slot].set(st["l"], mode="drop")
+        ps = st["ps"].at[lidx, slot].set(st["s"], mode="drop")
+        num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+        die = ext & (ns < min_intv)
+        take = ext & ~die
+        return dict(
+            t=st["t"] + 1,
+            k=jnp.where(take, nk, st["k"]),
+            l=jnp.where(take, nl, st["l"]),
+            s=jnp.where(take, ns, st["s"]),
+            n=jnp.where(take, j, st["n"]),
+            num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
+            alive=take,
+        )
+
+    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
+
+    push = started & (st["s"] >= min_intv)
+    slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
+    pm = st["pm"].at[lidx, slot].set(x, mode="drop")
+    pn = st["pn"].at[lidx, slot].set(st["n"], mode="drop")
+    pk = st["pk"].at[lidx, slot].set(st["k"], mode="drop")
+    pl = st["pl"].at[lidx, slot].set(st["l"], mode="drop")
+    ps = st["ps"].at[lidx, slot].set(st["s"], mode="drop")
+    num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+
+    # reverse prev so longest matches come first
+    ridx2 = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
+    pm = jnp.take_along_axis(pm, ridx2, axis=1)
+    pn = jnp.take_along_axis(pn, ridx2, axis=1)
+    pk = jnp.take_along_axis(pk, ridx2, axis=1)
+    pl = jnp.take_along_axis(pl, ridx2, axis=1)
+    ps = jnp.take_along_axis(ps, ridx2, axis=1)
+
+    out0 = LaneSeeds(m=jnp.zeros((NL, SA), jnp.int32),
+                     n=jnp.zeros((NL, SA), jnp.int32),
+                     k=jnp.zeros((NL, SA), jnp.int32),
+                     s=jnp.zeros((NL, SA), jnp.int32),
+                     count=jnp.zeros(NL, jnp.int32),
+                     overflow=jnp.zeros(NL, bool))
+
+    def emit(seeds: LaneSeeds, mask, em, en, ek, es):
+        slot = jnp.where(mask & (seeds.count < SA), seeds.count, SA)
+        return LaneSeeds(
+            m=seeds.m.at[lidx, slot].set(em, mode="drop"),
+            n=seeds.n.at[lidx, slot].set(en, mode="drop"),
+            k=seeds.k.at[lidx, slot].set(ek, mode="drop"),
+            s=seeds.s.at[lidx, slot].set(es, mode="drop"),
+            count=seeds.count + (mask & (seeds.count < SA)).astype(jnp.int32),
+            overflow=seeds.overflow | (mask & (seeds.count >= SA)),
+        )
+
+    bwd0 = dict(
+        t=jnp.int32(0),
+        num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
+        alive=started & (num_prev > 0),
+        seeds=out0,
+    )
+    parange = jnp.arange(P)[None, :]
+
+    def bwd_cond(st):
+        return jnp.any(st["alive"]) & (st["t"] < L)
+
+    def bwd_body(st):
+        j = x - 1 - st["t"]
+        in_range = st["alive"] & (j >= 0)
+        a = _read_base_at(codes, ridx, j)
+        proc = in_range & (a < 4)
+
+        c = jnp.broadcast_to(a[:, None], (NL, P))
+        nk, nl, ns = fmops.backward_extend(fm, st["pk"], st["pl"], st["ps"], c)
+        validp = parange < st["num_prev"][:, None]
+        survive = validp & (ns >= min_intv[:, None])
+        plen = st["pn"] - st["pm"] + 1
+        die_ok = validp & ~survive & (plen >= min_seed_len)
+
+        cand = survive | die_ok
+        has_cand = jnp.any(cand, axis=1)
+        pstar = jnp.argmax(cand, axis=1)
+        pstar_die = jnp.take_along_axis(die_ok, pstar[:, None], axis=1)[:, 0]
+        do_emit = proc & has_cand & pstar_die
+        em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
+        en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
+        ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
+        es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
+        seeds2 = emit(st["seeds"], do_emit, em, en, ek, es)
+
+        first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32),
+                                           axis=1) == 1)
+        prev_ns = jnp.concatenate(
+            [jnp.full((NL, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
+        keep = survive & (first_surv | (ns != prev_ns))
+        pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        slot2 = jnp.where(keep & proc[:, None], pos, P)
+        npm = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
+            jnp.broadcast_to(j[:, None], (NL, P)), mode="drop")
+        npn = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
+            st["pn"], mode="drop")
+        npk = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
+            nk, mode="drop")
+        npl = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
+            nl, mode="drop")
+        nps = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
+            ns, mode="drop")
+        ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+        return dict(
+            t=st["t"] + 1,
+            num_prev=jnp.where(proc, ncount, st["num_prev"]),
+            pm=jnp.where(proc[:, None], npm, st["pm"]),
+            pn=jnp.where(proc[:, None], npn, st["pn"]),
+            pk=jnp.where(proc[:, None], npk, st["pk"]),
+            pl=jnp.where(proc[:, None], npl, st["pl"]),
+            ps=jnp.where(proc[:, None], nps, st["ps"]),
+            alive=proc & (ncount > 0),
+            seeds=seeds2,
+        )
+
+    st = jax.lax.while_loop(bwd_cond, bwd_body, bwd0)
+
+    final = started & (st["num_prev"] > 0)
+    fl = st["pn"][:, 0] - st["pm"][:, 0] + 1
+    do_emit = final & (fl >= min_seed_len)
+    return emit(st["seeds"], do_emit, st["pm"][:, 0], st["pn"][:, 0],
+                st["pk"][:, 0], st["ps"][:, 0])
+
+
+def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
+                     B: int, max_seeds: int,
+                     into: SeedBatch | None = None) -> SeedBatch:
+    """Concatenate per-lane emissions into per-read SeedBatch buffers,
+    ordered by (lane_order, emission index) per read — reproducing the
+    sequential matchArray append order. lane_read/lane_order int32[NL]."""
+    NL, SA = lanes.m.shape
+    S = max_seeds
+    cnt = jnp.where(lane_valid, lanes.count, 0)
+
+    # per-read exclusive prefix of counts in lane_order: lanes are given
+    # already ordered (caller sorts by (read, order)), so a segmented scan
+    # over the flat lane array suffices.
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, bool), lane_read[1:] != lane_read[:-1]])
+    csum = jnp.cumsum(cnt)
+    seg_base = jnp.where(seg_start, csum - cnt, 0)
+    seg_base = jax.lax.associative_scan(jnp.maximum, seg_base)
+    lane_base = csum - cnt - seg_base            # offset within the read
+    base0 = into.count[lane_read] if into is not None else 0
+    lane_base = lane_base + base0
+
+    ar = jnp.arange(SA, dtype=jnp.int32)[None, :]
+    valid = lane_valid[:, None] & (ar < cnt[:, None])
+    tgt = lane_base[:, None] + ar
+    ovf_lane = jnp.any(valid & (tgt >= S), axis=1)
+    tgt = jnp.where(valid & (tgt < S), tgt, S)
+    rexp = jnp.broadcast_to(lane_read[:, None], (NL, SA))
+
+    if into is None:
+        into = SeedBatch(m=jnp.zeros((B, S), jnp.int32),
+                         n=jnp.zeros((B, S), jnp.int32),
+                         k=jnp.zeros((B, S), jnp.int32),
+                         s=jnp.zeros((B, S), jnp.int32),
+                         count=jnp.zeros(B, jnp.int32),
+                         overflow=jnp.zeros(B, bool))
+
+    def scat(dst, src):
+        return dst.at[rexp, tgt].set(src, mode="drop")
+
+    new_count = jnp.zeros(B, jnp.int32).at[lane_read].add(cnt) + into.count
+    ovf = jnp.zeros(B, bool).at[lane_read].max(
+        ovf_lane | (lane_valid & lanes.overflow))
+    return SeedBatch(
+        m=scat(into.m, lanes.m), n=scat(into.n, lanes.n),
+        k=scat(into.k, lanes.k), s=scat(into.s, lanes.s),
+        count=jnp.minimum(new_count, S),
+        overflow=into.overflow | ovf | (new_count > S),
+    )
 
 
 # --------------------------------------------------------------------------
