@@ -31,8 +31,8 @@ INT32_MAX = jnp.int32(2**31 - 1)
 
 
 def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
-                  max_seeds: int, prev_cap: int, anchors_per_read: int = 24,
-                  k2_per_read: int = 6, lane_emit_cap: int = 16) -> SeedBatch:
+                  max_seeds: int, prev_cap: int = 20,
+                  k2_per_read: int = 2, lane_emit_cap: int = 16) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -55,28 +55,31 @@ def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
                                  prev_cap)
     k1_count = seeds.count
 
-    # --- K2: derive per-read job lists from K1 output (matchArray order) ---
+    # --- K2: qualifying K1 SMEMs re-seeded at their midpoint. Jobs are
+    # compacted GLOBALLY (typical reads have 0-1), ordered by (read, K1
+    # slot) = the reference's matchArray scan order. ---
     S = seeds.m.shape[1]
     slot_valid = jnp.arange(S)[None, :] < k1_count[:, None]
     qual = slot_valid & ((seeds.n + 1 - seeds.m) >= split_len) & \
         (seeds.s <= opt.split_width)
-    rank = jnp.cumsum(qual.astype(jnp.int32), axis=1) - 1   # job index per slot
-    J = k2_per_read
-    slot = jnp.where(qual & (rank < J), rank, J)
-    job_x = jnp.zeros((B, J), jnp.int32).at[bidx[:, None], slot].set(
-        (seeds.m + seeds.n + 1) >> 1, mode="drop")
-    job_mi = jnp.zeros((B, J), jnp.int32).at[bidx[:, None], slot].set(
-        seeds.s + 1, mode="drop")
-    n_jobs = jnp.sum(qual, axis=1).astype(jnp.int32)
-    k2_overflow = n_jobs > J
+    NK = B * k2_per_read
+    fq = qual.reshape(-1)
+    qslot = jnp.cumsum(fq.astype(jnp.int32)) - 1
+    qslot = jnp.where(fq & (qslot < NK), qslot, NK)
+    qidx = jnp.zeros(NK + 1, jnp.int32).at[qslot].set(
+        jnp.arange(B * S, dtype=jnp.int32), mode="drop")[:NK]
+    k_on = jnp.zeros(NK + 1, bool).at[qslot].set(fq, mode="drop")[:NK]
+    k_read = qidx // S
+    job_x = ((seeds.m + seeds.n + 1) >> 1).reshape(-1)[qidx]
+    job_mi = (seeds.s + 1).reshape(-1)[qidx]
+    k2_overflow = jnp.zeros(B, bool).at[
+        jnp.where(fq & (qslot >= NK), jnp.arange(B * S) // S, B)
+    ].max(fq & (qslot >= NK), mode="drop")
 
-    k_read = jnp.repeat(jnp.arange(B, dtype=jnp.int32), J)
-    k_ord = jnp.tile(jnp.arange(J, dtype=jnp.int32), B)
-    k_on = k_ord < n_jobs[k_read]
     k2lanes = smemops.smem_one_pos_lanes(
-        dfm, codes, lens, k_read, job_x.reshape(-1), job_mi.reshape(-1),
+        dfm, codes, lens, k_read, job_x, job_mi,
         k_on, opt.min_seed_len, prev_cap, lane_emit_cap)
-    seeds = smemops.merge_lane_seeds(k2lanes, k_read, k_ord, k_on, B,
+    seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on, B,
                                      max_seeds, into=seeds)
 
     # --- K3 ---

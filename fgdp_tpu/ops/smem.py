@@ -99,6 +99,7 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
         pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
         next_x=x + 1,
         alive=started,
+        povf=jnp.zeros(B, bool),
     )
 
     def fwd_cond(st):
@@ -134,6 +135,7 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
             num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
             next_x=next_x,
             alive=take,
+            povf=st["povf"] | (push & (st["num_prev"] >= P)),
         )
 
     st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
@@ -162,7 +164,7 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
         t=jnp.int32(0),
         num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
         alive=started & (num_prev > 0),
-        seeds=seeds,
+        seeds=seeds._replace(overflow=seeds.overflow | st["povf"]),
     )
     parange = jnp.arange(P)[None, :]
 
@@ -350,6 +352,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
         num_prev=jnp.zeros(NL, jnp.int32),
         pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
         alive=started,
+        povf=jnp.zeros(NL, bool),
     )
 
     def fwd_cond(st):
@@ -380,6 +383,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
             n=jnp.where(take, j, st["n"]),
             num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
             alive=take,
+            povf=st["povf"] | (push & (st["num_prev"] >= P)),
         )
 
     st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
@@ -406,7 +410,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
                      k=jnp.zeros((NL, SA), jnp.int32),
                      s=jnp.zeros((NL, SA), jnp.int32),
                      count=jnp.zeros(NL, jnp.int32),
-                     overflow=jnp.zeros(NL, bool))
+                     overflow=st["povf"])
 
     def emit(seeds: LaneSeeds, mask, em, en, ek, es):
         slot = jnp.where(mask & (seeds.count < SA), seeds.count, SA)

@@ -29,7 +29,7 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                  active, opt: AlignConfig, shapes: BatchShapes):
     """codes int32[B, L] -> AlnRegBatch (jit-able)."""
     seeds = collect_seeds(dfm, codes, lens, active, opt,
-                          max_seeds=shapes.max_smems, prev_cap=64)
+                          max_seeds=shapes.max_smems, prev_cap=20)
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,
                               max_chains=shapes.max_chains)
