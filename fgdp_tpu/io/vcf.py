@@ -1,0 +1,55 @@
+"""VCF writing (the reference's VCFWriter, variantcontext/VCFWriter.cpp)."""
+
+from __future__ import annotations
+
+
+class VcfWriter:
+    def __init__(self, path, contig_names, contig_lens, sample_names,
+                 extra_headers=()):
+        self.path = path
+        self.f = open(path, "w")
+        self.f.write("##fileformat=VCFv4.2\n")
+        self.f.write('##FILTER=<ID=PASS,Description="Site passes filters">\n')
+        for h in (
+            '##INFO=<ID=TLOD,Number=A,Type=Float,Description='
+            '"Log 10 likelihood ratio score of variant existing versus '
+            'not existing">',
+            '##INFO=<ID=NLOD,Number=A,Type=Float,Description='
+            '"Normal log 10 likelihood ratio of diploid het or hom alt '
+            'genotypes">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            '##FORMAT=<ID=AD,Number=R,Type=Integer,Description='
+            '"Allelic depths">',
+            '##FORMAT=<ID=AF,Number=A,Type=Float,Description='
+            '"Allele fraction">',
+            '##FILTER=<ID=weak_evidence,Description="Mutation does not '
+            'meet likelihood threshold">',
+            '##FILTER=<ID=germline,Description="Evidence indicates the '
+            'site is germline, not somatic">',
+        ):
+            self.f.write(h + "\n")
+        for h in extra_headers:
+            self.f.write(h + "\n")
+        for n, l in zip(contig_names, contig_lens):
+            self.f.write(f"##contig=<ID={n},length={int(l)}>\n")
+        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+                "INFO", "FORMAT"] + list(sample_names)
+        self.f.write("\t".join(cols) + "\n")
+
+    def add(self, contig, pos1, ref, alts, info: dict, filters,
+            sample_fields):
+        """pos1: 1-based. sample_fields: list of dicts per sample."""
+        inf = ";".join(f"{k}={v}" for k, v in info.items()) or "."
+        filt = ";".join(filters) if filters else "PASS"
+        keys = sorted({k for sf in sample_fields for k in sf},
+                      key=lambda k: (k != "GT", k))
+        fmt = ":".join(keys)
+        samples = [":".join(str(sf.get(k, ".")) for k in keys)
+                   for sf in sample_fields]
+        self.f.write("\t".join([
+            contig, str(pos1), ".", ref, ",".join(alts), ".", filt, inf,
+            fmt] + samples) + "\n")
+
+    def close(self):
+        self.f.close()
