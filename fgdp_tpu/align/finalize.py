@@ -475,13 +475,29 @@ _SEQ_FWD = "ACGTN"
 _SEQ_REV = "TGCAN"
 
 
+def _cigar_rlen(cigar):
+    return sum(ln for op, ln in cigar if op in (0, 2))
+
+
 def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
             alns, which, mate=None, rg_id=None):
-    """mem_aln2sam (single-end path when mate is None). codes: int array.
-    Returns one tab-separated SAM line (no trailing newline)."""
+    """mem_aln2sam (bwamem.cpp:2054-2193) incl. the mate path.
+    codes: int array. Returns one tab-separated SAM line."""
     p = dict(alns[which])
+    m = dict(mate) if mate is not None else None
+    if m is not None:
+        p["flag"] |= 0x1
+        p["flag"] |= 0x8 if m["rid"] < 0 else 0
+        if p["rid"] < 0 and m["rid"] >= 0:   # copy mate to alignment
+            p["rid"], p["pos"], p["is_rev"] = m["rid"], m["pos"], m["is_rev"]
+            p["cigar"] = []
+        if m["rid"] < 0 and p["rid"] >= 0:   # copy alignment to mate
+            m["rid"], m["pos"], m["is_rev"] = p["rid"], p["pos"], p["is_rev"]
+            m["cigar"] = []
     p["flag"] |= 0x4 if p["rid"] < 0 else 0
     p["flag"] |= 0x10 if p["is_rev"] else 0
+    if m is not None and m["is_rev"]:
+        p["flag"] |= 0x20
     cols = [name, str(p["flag"] & 0xffff | (0x100 if p["flag"] & 0x10000
                                             else 0))]
     if p["rid"] >= 0:
@@ -489,7 +505,22 @@ def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
                  _cigar_str(opt, p, which)]
     else:
         cols += ["*", "0", "0", "*"]
-    cols += ["*", "0", "0"]   # mate fields (single-end)
+    if m is not None and m["rid"] >= 0:
+        rnext = "=" if p["rid"] == m["rid"] else pref.names[m["rid"]]
+        if p["rid"] == m["rid"]:
+            p0 = p["pos"] + (_cigar_rlen(p["cigar"]) - 1 if p["is_rev"]
+                             else 0)
+            p1 = m["pos"] + (_cigar_rlen(m["cigar"]) - 1 if m["is_rev"]
+                             else 0)
+            if not m["cigar"] or not p["cigar"]:
+                tlen = 0
+            else:
+                tlen = -(p0 - p1 + (1 if p0 > p1 else -1 if p0 < p1 else 0))
+        else:
+            tlen = 0
+        cols += [rnext, str(m["pos"] + 1), str(tlen)]
+    else:
+        cols += ["*", "0", "0"]   # without mate coordinate
     if p["flag"] & 0x100:
         cols += ["*", "*"]
     else:
@@ -537,8 +568,8 @@ def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
 
 
 def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
-            regs, read_id, extra_flag=0):
-    """mem_reg2sam single-end (bwamem.cpp:1983-2040). regs already through
+            regs, read_id, extra_flag=0, mate=None):
+    """mem_reg2sam (bwamem.cpp:1983-2040). regs already through
     dedup + mark_primary. Returns list of SAM lines."""
     alns = []
     keep = []
@@ -560,6 +591,6 @@ def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
     if not alns:
         a = reg2aln(pref, opt, codes, None)
         a["flag"] |= extra_flag
-        return [aln2sam(pref, opt, name, codes, qual, [a], 0)]
-    return [aln2sam(pref, opt, name, codes, qual, alns, k)
+        return [aln2sam(pref, opt, name, codes, qual, [a], 0, mate=mate)]
+    return [aln2sam(pref, opt, name, codes, qual, alns, k, mate=mate)
             for k in range(len(alns))]

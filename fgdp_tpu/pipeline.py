@@ -67,8 +67,45 @@ class Aligner:
         return lines
 
     def align_batch(self, names, seq_codes, quals=None, id0: int = 0):
-        """names: list[str]; seq_codes: list of int arrays (0..4).
-        Returns list of SAM line strings (one or more per read)."""
+        """Single-end alignment. names: list[str]; seq_codes: list of int
+        arrays (0..4). Returns SAM lines (one or more per read)."""
+        reg_lists = self._reg_lists(seq_codes, self._device_regs(seq_codes))
+        out = []
+        for b, rl in enumerate(reg_lists):
+            finalize.mark_primary(self.opt, rl, id0 + b)
+            qual = quals[b] if quals else None
+            out.extend(finalize.reg2sam(self.pref, self.opt, names[b],
+                                        np.asarray(seq_codes[b], np.int64),
+                                        qual, rl, id0 + b))
+        return out
+
+    def align_pairs(self, names, seq_codes, quals=None, id0: int = 0):
+        """Paired-end alignment. seq_codes interleaved [r1_0, r2_0, r1_1,
+        ...] (reference worker layout, bseq 2i/2i+1). Returns SAM lines."""
+        from .align import pair as pairmod
+
+        B = len(seq_codes)
+        assert B % 2 == 0
+        regs_np = self._device_regs(seq_codes)
+        reg_lists = self._reg_lists(seq_codes, regs_np)
+        reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
+                     for i in range(B // 2)]
+        pes = pairmod.pestat(self.opt, self.pref.l_pac, reg_pairs)
+        out = []
+        for i in range(B // 2):
+            q1 = quals[2 * i] if quals else None
+            q2 = quals[2 * i + 1] if quals else None
+            l0, l1 = pairmod.sam_pe(
+                self.opt, self.pref, pes, id0 + i,
+                (names[2 * i], names[2 * i + 1]),
+                (np.asarray(seq_codes[2 * i], np.int64),
+                 np.asarray(seq_codes[2 * i + 1], np.int64)),
+                (q1, q2), list(reg_pairs[i]))
+            out.extend(l0)
+            out.extend(l1)
+        return out
+
+    def _device_regs(self, seq_codes):
         B = len(seq_codes)
         L = self.shapes.read_len
         codes = np.full((B, L), 4, np.int32)
@@ -79,12 +116,12 @@ class Aligner:
             lens[i] = n
         regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
                         jnp.asarray(lens), jnp.ones(B, bool))
-        regs = {k: np.asarray(v) for k, v in regs._asdict().items()}
-        return self._finish(names, seq_codes, quals, regs, id0)
+        return {k: np.asarray(v) for k, v in regs._asdict().items()}
 
-    def _finish(self, names, seq_codes, quals, regs, id0):
+    def _reg_lists(self, seq_codes, regs):
+        """Device regs -> per-read dict lists through dedup/patch,
+        sorted by score (mem_sort_dedup_patch output order)."""
         out = []
-        opt, pref = self.opt, self.pref
         for b in range(len(seq_codes)):
             rl = []
             for e in range(regs["qb"].shape[1]):
@@ -102,13 +139,11 @@ class Aligner:
                     seedlen0=int(regs["seedlen0"][b, e]),
                     frac_rep=float(regs["frac_rep"][b]),
                     sub=0, csub=0, sub_n=0,
-                    is_alt=bool(pref.is_alt[rid]) if rid >= 0 else False,
+                    is_alt=bool(self.pref.is_alt[rid]) if rid >= 0
+                    else False,
                 ))
             rl = [r for r in rl if r["qe"] > r["qb"]]
             codes = np.asarray(seq_codes[b], np.int64)
-            rl = finalize.sort_dedup_patch(pref, opt, codes, rl)
-            finalize.mark_primary(opt, rl, id0 + b)
-            qual = quals[b] if quals else None
-            out.extend(finalize.reg2sam(pref, opt, names[b], codes, qual,
-                                        rl, id0 + b))
+            rl = finalize.sort_dedup_patch(self.pref, self.opt, codes, rl)
+            out.append(rl)
         return out
