@@ -85,9 +85,10 @@ def ksw_global(query, target, o_del, e_del, o_ins, e_ins, w, mat,
             F[1:] = cm[:-1] - (jcols[beg + 1:end] - 1) * e_ins
         d = np.where(h >= F, d, 2).astype(np.uint8)
         H = np.maximum(h, F)
-        # e/f continuation bits for the next cells
+        # e/f continuation bits for the next cells (z layout f<<4|e<<2|h,
+        # ksw.cpp: e-continue = 1<<2, f-continue = 2<<4)
         d |= ((E - e_del > m - oe_del).astype(np.uint8)) << 2
-        d |= ((F - e_ins > m - oe_ins).astype(np.uint8)) << 4
+        d |= ((F - e_ins > m - oe_ins).astype(np.uint8)) << 5
         if want_cigar:
             z[i, :end - beg] = d
         # state update (shifted-H convention)

@@ -1,0 +1,177 @@
+"""Command-line interface: the three reference programs as subcommands.
+
+  fgdp index   <ref.fa> <out_prefix>          (bwa-mem2 index)
+  fgdp mem     <prefix> <r1.fq> [r2.fq] ...   (bwa-mem2 mem)
+  fgdp sormadup <in.sam> <out.bam>            (sormadup)
+  fgdp mutect  -R ref -I tumor.bam ...        (Mutect2Cpp_master)
+
+Run as `python -m fgdp_tpu <cmd> ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_index(args):
+    from .index.fmindex import FMIndex
+    from .index.reference import PackedReference
+
+    t0 = time.time()
+    pref = PackedReference.from_fasta(args.ref)
+    pref.save(args.prefix + ".ref")
+    print(f"[index] packed {len(pref.names)} contigs, "
+          f"{pref.l_pac} bp in {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    fm = FMIndex.build(pref.codes)
+    fm.save(args.prefix + ".fmi")
+    print(f"[index] FM-index built in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+
+def _load_aligner(prefix, batch):
+    from .config import BatchShapes
+    from .index.fmindex import FMIndex
+    from .index.reference import PackedReference
+    from .pipeline import Aligner
+
+    pref = PackedReference.load(prefix + ".ref")
+    fm = FMIndex.load(prefix + ".fmi")
+    return Aligner(pref, fm, shapes=BatchShapes(batch_reads=batch))
+
+
+def _read_batches(paths, batch):
+    from .io.fastq import parse_fastq_records
+    from .utils import dna
+
+    its = [parse_fastq_records(p) for p in paths]
+    paired = len(its) == 2
+    while True:
+        names, seqs, quals = [], [], []
+        for _ in range(batch // (2 if paired else 1)):
+            recs = [next(it, None) for it in its]
+            if recs[0] is None:
+                break
+            for r in recs:
+                names.append(r[0])
+                seqs.append(dna.encode(r[2]).astype(np.int64))
+                quals.append(r[3].decode() if r[3] else None)
+        if not names:
+            return
+        yield names, seqs, quals
+
+
+def cmd_mem(args):
+    aligner = _load_aligner(args.prefix, args.batch)
+    out = open(args.output, "w") if args.output else sys.stdout
+    for ln in aligner.sam_header():
+        out.write(ln + "\n")
+    n = 0
+    t0 = time.time()
+    for names, seqs, quals in _read_batches(args.reads, args.batch):
+        if len(args.reads) == 2:
+            lines = aligner.align_pairs(names, seqs, quals, id0=n)
+        else:
+            lines = aligner.align_batch(names, seqs, quals, id0=n)
+        for ln in lines:
+            out.write(ln + "\n")
+        n += len(names)
+        dt = max(time.time() - t0, 1e-9)
+        print(f"[mem] {n} reads, {n/dt:.0f} reads/s", file=sys.stderr)
+    if args.output:
+        out.close()
+
+
+def cmd_sormadup(args):
+    from .sortdup.driver import sort_markdup
+
+    t0 = time.time()
+    with (sys.stdin if args.input == "-" else open(args.input)) as f:
+        lines = f.read().splitlines()
+    n, ndup = sort_markdup(lines, args.output,
+                           compress_level=args.compress_level)
+    print(f"[sormadup] {n} records, {ndup} duplicate pairs, "
+          f"{time.time()-t0:.1f}s -> {args.output}(.bai)", file=sys.stderr)
+
+
+def _bam_to_read_dicts(path):
+    from .io import bam as bamio
+    from .utils import dna
+
+    _, names, lens, records = bamio.read_bam(path)
+    reads = []
+    for r in records:
+        if r["flag"] & 0x904 or r["rid"] < 0:
+            continue
+        reads.append(dict(
+            rid=r["rid"], pos=r["pos"], cigar=r["cigar"],
+            seq_codes=dna.encode(r["seq"]).astype(np.int64),
+            quals=np.frombuffer(r["qual"], np.uint8).astype(np.int64),
+            mate_start=r["next_pos"] if r["next_rid"] == r["rid"] else None,
+            properly_paired=bool(r["flag"] & 0x2)))
+    return names, lens, reads
+
+
+def cmd_mutect(args):
+    from .call.engine import Mutect2Engine, write_vcf
+    from .io.fasta import read_fasta
+
+    ref = read_fasta(args.reference)
+    names, lens, tumor = _bam_to_read_dicts(args.input)
+    normal = _bam_to_read_dicts(args.normal)[2] if args.normal else []
+    all_calls = []
+    for cid, cname in enumerate(ref.names):
+        codes = ref.contig_codes(cid)
+        t = [r for r in tumor if r["rid"] == cid]
+        nr = [r for r in normal if r["rid"] == cid]
+        if not t:
+            continue
+        eng = Mutect2Engine(codes, cname)
+        all_calls.extend(eng.call(t, nr))
+    write_vcf(args.output, all_calls, ref.names,
+              np.diff(ref.offsets).tolist(),
+              normal_sample="NORMAL" if args.normal else None)
+    print(f"[mutect] {len(all_calls)} calls -> {args.output}",
+          file=sys.stderr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fgdp-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("ref")
+    pi.add_argument("prefix")
+    pi.set_defaults(fn=cmd_index)
+
+    pm = sub.add_parser("mem")
+    pm.add_argument("prefix")
+    pm.add_argument("reads", nargs="+")
+    pm.add_argument("-o", "--output")
+    pm.add_argument("-b", "--batch", type=int, default=512)
+    pm.set_defaults(fn=cmd_mem)
+
+    ps = sub.add_parser("sormadup")
+    ps.add_argument("input")
+    ps.add_argument("output")
+    ps.add_argument("-l", "--compress-level", type=int, default=6)
+    ps.set_defaults(fn=cmd_sormadup)
+
+    pc = sub.add_parser("mutect")
+    pc.add_argument("-R", "--reference", required=True)
+    pc.add_argument("-I", "--input", required=True)
+    pc.add_argument("-N", "--normal")
+    pc.add_argument("-O", "--output", required=True)
+    pc.set_defaults(fn=cmd_mutect)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""CLI end-to-end: index -> mem (PE) -> sormadup -> mutect on tiny data."""
+
+import numpy as np
+import pytest
+
+from fgdp_tpu import cli
+from fgdp_tpu.utils import dna
+
+BASES = "ACGT"
+
+
+@pytest.fixture(scope="module")
+def tiny_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(23)
+    ref_codes = rng.integers(0, 4, 4000).astype(np.uint8)
+    fa = tmp / "ref.fa"
+    with open(fa, "w") as f:
+        f.write(">chrT\n")
+        s = dna.decode(ref_codes)
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    # simulate FR pairs
+    r1p, r2p = tmp / "r1.fq", tmp / "r2.fq"
+    L, iz = 100, 280
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        for i in range(40):
+            pos = int(rng.integers(0, 4000 - iz - 1))
+            s1 = ref_codes[pos:pos + L].copy()
+            s2 = dna.revcomp(ref_codes[pos + iz - L:pos + iz])
+            if i < 20 and pos + 40 < 4000:   # plant a SNV in half the reads
+                pass
+            q = "I" * L
+            f1.write(f"@M1:{i}:FC:1:1:{i+1}:{i+2}\n{dna.decode(s1)}\n+\n{q}\n")
+            f2.write(f"@M1:{i}:FC:1:1:{i+1}:{i+2}\n{dna.decode(s2)}\n+\n{q}\n")
+    return tmp, fa, r1p, r2p, ref_codes
+
+
+def test_cli_full_pipeline(tiny_world):
+    tmp, fa, r1p, r2p, ref_codes = tiny_world
+    prefix = str(tmp / "idx")
+    cli.main(["index", str(fa), prefix])
+    sam = tmp / "out.sam"
+    cli.main(["mem", prefix, str(r1p), str(r2p), "-o", str(sam),
+              "-b", "96"])
+    lines = sam.read_text().splitlines()
+    body = [ln for ln in lines if not ln.startswith("@")]
+    assert len(body) >= 80
+    mapped = [ln for ln in body if not (int(ln.split("\t")[1]) & 0x4)]
+    assert len(mapped) >= 78
+
+    bam = tmp / "out.bam"
+    cli.main(["sormadup", str(sam), str(bam)])
+    from fgdp_tpu.io import bam as bamio
+    _, names, lens, records = bamio.read_bam(bam)
+    assert names == ["chrT"]
+    assert len(records) == len(body)
+
+    vcf = tmp / "out.vcf"
+    cli.main(["mutect", "-R", str(fa), "-I", str(bam), "-O", str(vcf)])
+    assert vcf.read_text().startswith("##fileformat")

@@ -1,0 +1,105 @@
+"""Golden-output parity with the reference bwa-mem2-lcp binary.
+
+Fixtures in tests/golden/ were produced by building the reference
+aligner (arch=native, gcc12 __rdtsc patch) and running:
+    bwa-mem2 index ref.fa
+    bwa-mem2 mem -t 1 ref.fa se.fq            > se.oracle.sam
+    bwa-mem2 mem -t 1 ref.fa pe1.fq pe2.fq    > pe.oracle.sam
+This is the reference's own correctness oracle
+(bwa-mem2-lcp/test_bench/run_test_suit.sh:65-71 diffs SAM outputs).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fgdp_tpu.config import BatchShapes
+from fgdp_tpu.index.reference import PackedReference
+from fgdp_tpu.io.fastq import parse_fastq_records
+from fgdp_tpu.pipeline import Aligner
+from fgdp_tpu.utils import dna
+
+HERE = os.path.join(os.path.dirname(__file__), "golden")
+CORE = slice(1, 6)          # FLAG RNAME POS MAPQ CIGAR
+PAIR_COLS = slice(1, 10)    # + RNEXT PNEXT TLEN
+TAGS = ("NM", "MD", "AS", "XS")
+
+SHAPES = BatchShapes(read_len=100, batch_reads=128, max_smems=128,
+                     max_seeds=192, max_chains=24, max_regs=24,
+                     max_ext_ref=304)
+
+
+@pytest.fixture(scope="module")
+def aligner():
+    pref = PackedReference.from_fasta(os.path.join(HERE, "ref.fa"))
+    return Aligner.build(pref, shapes=SHAPES)
+
+
+def _load_fastq(path):
+    names, seqs, quals = [], [], []
+    for name, _, seq, q in parse_fastq_records(path):
+        names.append(name)
+        seqs.append(dna.encode(seq).astype(np.int64))
+        quals.append(q.decode())
+    return names, seqs, quals
+
+
+def _index_sam(lines):
+    out = {}
+    for ln in lines:
+        if ln.startswith("@") or not ln.strip():
+            continue
+        f = ln.rstrip("\n").split("\t")
+        flag = int(f[1])
+        if flag & 0x900:
+            continue
+        key = (f[0], flag & 0xC0)     # name + read1/read2
+        out[key] = f
+    return out
+
+
+def _tags(f):
+    return {t.split(":")[0]: t for t in f[11:]}
+
+
+def _compare(ref_lines, our_lines, cols, min_core, min_full, n):
+    ref = _index_sam(ref_lines)
+    ours = _index_sam(our_lines)
+    assert len(ours) == len(ref)
+    core = full = 0
+    mism = []
+    for key, rf in ref.items():
+        of = ours.get(key)
+        assert of is not None, key
+        c = rf[cols] == of[cols]
+        tr, to = _tags(rf), _tags(of)
+        fl = c and all(tr.get(k) == to.get(k) for k in TAGS)
+        core += c
+        full += fl
+        if not fl and len(mism) < 4:
+            mism.append((key, rf[cols], of[cols],
+                         [tr.get(k) for k in TAGS],
+                         [to.get(k) for k in TAGS]))
+    assert core >= min_core, (core, n, mism)
+    assert full >= min_full, (full, n, mism)
+
+
+def test_golden_single_end(aligner):
+    names, seqs, quals = _load_fastq(os.path.join(HERE, "se.fq"))
+    lines = aligner.align_batch(names, seqs, quals)
+    with open(os.path.join(HERE, "se.oracle.sam")) as f:
+        oracle = f.read().splitlines()
+    _compare(oracle, lines, CORE, 148, 148, len(names))
+
+
+def test_golden_paired_end(aligner):
+    n1, s1, q1 = _load_fastq(os.path.join(HERE, "pe1.fq"))
+    n2, s2, q2 = _load_fastq(os.path.join(HERE, "pe2.fq"))
+    names = [x for p in zip(n1, n2) for x in p]
+    seqs = [x for p in zip(s1, s2) for x in p]
+    quals = [x for p in zip(q1, q2) for x in p]
+    lines = aligner.align_pairs(names, seqs, quals)
+    with open(os.path.join(HERE, "pe.oracle.sam")) as f:
+        oracle = f.read().splitlines()
+    _compare(oracle, lines, PAIR_COLS, 196, 194, 2 * len(n1))
