@@ -65,12 +65,51 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
     reads_per_s = B / dt
+    print(f"align: {reads_per_s:.0f} reads/s/chip", file=sys.stderr)
+
+    # ---- PairHMM GCUPS (secondary metric, stderr) ----
+    try:
+        gcups = bench_pairhmm()
+        print(f"pairhmm: {gcups:.1f} GCUPS/chip (f32)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - report, don't fail the bench
+        print(f"pairhmm bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "align_reads_per_s_chip",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / TARGET_READS_PER_S, 4),
     }))
+
+
+def bench_pairhmm(NP=2048, R=151, H=384):
+    import jax
+    import jax.numpy as jnp
+
+    from fgdp_tpu.ops import pairhmm
+
+    rng = np.random.default_rng(1)
+    reads = rng.integers(0, 4, (NP, R)).astype(np.int32)
+    haps = rng.integers(0, 4, (NP, H)).astype(np.int32)
+    # haplotypes embed the read so likelihoods stay in f32 range
+    haps[:, 10:10 + R] = reads
+    rlens = np.full(NP, R, np.int32)
+    hlens = np.full(NP, H, np.int32)
+    q = rng.integers(20, 40, (NP, R))
+    ph2pr = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
+    pq = ph2pr[q]
+    tr = pairhmm.transitions(np.full((NP, R), 45), np.full((NP, R), 45),
+                             np.full((NP, R), 10), np.float32)
+    args = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
+            jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
+    out = pairhmm.forward_f32(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = pairhmm.forward_f32(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 3
+    return NP * R * H / dt / 1e9
 
 
 if __name__ == "__main__":

@@ -91,6 +91,9 @@ def pestat(opt: AlignConfig, l_pac, reg_pairs):
         sel = [x for x in q if r.low <= x <= r.high]
         r.avg = sum(sel) / len(sel)
         r.std = math.sqrt(sum((x - r.avg) ** 2 for x in sel) / len(sel))
+        # degenerate distributions (identical inserts) divide by zero in
+        # the reference's erfc prior (bwamem_pair.cpp:322 is UB there)
+        r.std = max(r.std, 1e-9)
         r.low = int(p25 - MAPPING_BOUND * (p75 - p25) + 0.499)
         r.high = int(p75 + MAPPING_BOUND * (p75 - p25) + 0.499)
         r.low = min(r.low, int(r.avg - MAX_STDDEV * r.std + 0.499))
@@ -374,10 +377,11 @@ def mem_pair(opt: AlignConfig, pref, pes, regs_pair, read_id, n_pri):
                 if dist < pes[dr].low:
                     continue
                 ns = (dist - pes[dr].avg) / pes[dr].std
+                # erfc underflows to 0 for |ns| >~ 27; C's log(0) = -inf
+                # clamps q to 0 below — mirror that without raising
+                tail = max(2.0 * math.erfc(abs(ns) * M_SQRT1_2), 1e-300)
                 q = int((v[i][1] >> 32) + (v[k][1] >> 32) +
-                        0.721 * math.log(2.0 * math.erfc(abs(ns) *
-                                                         M_SQRT1_2)) *
-                        opt.a + 0.499)
+                        0.721 * math.log(tail) * opt.a + 0.499)
                 q = max(q, 0)
                 pair_y = (k << 32) | i
                 u.append(((q << 32) |
