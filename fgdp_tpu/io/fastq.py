@@ -85,7 +85,15 @@ def records_to_batch(records, read_len: int, pad_to: int | None = None) -> ReadB
 
 def read_batches(path, read_len: int = 151, chunk_bp: int = 10_000_000,
                  pad_multiple: int = 512):
-    """Stream ReadBatches of ~chunk_bp total bases, padded to pad_multiple."""
+    """Stream ReadBatches of ~chunk_bp total bases, padded to pad_multiple.
+    Uses the native C parser (io/native.py) when available — the role of
+    the reference's C bseq_read_orig chunk reader."""
+    from . import native
+
+    if native.get_lib() is not None:
+        yield from _read_batches_native(path, read_len, chunk_bp,
+                                        pad_multiple)
+        return
     it = parse_fastq_records(path)
     while True:
         target = max(1, chunk_bp // max(read_len, 1))
@@ -94,6 +102,40 @@ def read_batches(path, read_len: int = 151, chunk_bp: int = 10_000_000,
             return
         b = -(-len(records) // pad_multiple) * pad_multiple
         yield records_to_batch(records, read_len, pad_to=b)
+
+
+def _read_batches_native(path, read_len, chunk_bp, pad_multiple):
+    from . import native
+
+    max_reads = max(1, chunk_bp // max(read_len, 1))
+    buf = b""
+    f = _open(path)
+    try:
+        while True:
+            chunk = f.read(chunk_bp * 3)
+            buf += chunk
+            if not buf:
+                return
+            res = native.parse_fastq_chunk(buf, max_reads, read_len)
+            names, codes, quals, lens, consumed = res
+            if not names:
+                if not chunk:
+                    return
+                continue
+            buf = buf[consumed:]
+            n = len(names)
+            b = -(-n // pad_multiple) * pad_multiple
+            pc = np.full((b, read_len), 4, np.uint8)
+            pq = np.zeros((b, read_len), np.uint8)
+            pl = np.zeros(b, np.int32)
+            pc[:n] = codes
+            pq[:n] = quals
+            pl[:n] = lens
+            yield ReadBatch(names=names, codes=pc, quals=pq, lengths=pl)
+            if not chunk and not buf:
+                return
+    finally:
+        f.close()
 
 
 def interleave_pairs(path1, path2, read_len: int = 151, chunk_bp: int = 10_000_000,

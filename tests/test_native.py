@@ -1,0 +1,84 @@
+"""Native parser vs pure-Python parsers."""
+
+import numpy as np
+import pytest
+
+from fgdp_tpu.io import native
+from fgdp_tpu.io.sam import SamHeader, parse_sam_records
+from fgdp_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lb = native.get_lib()
+    if lb is None:
+        pytest.skip("native library unavailable")
+    return lb
+
+
+def test_fastq_native(lib, rng):
+    recs = []
+    for i in range(50):
+        L = int(rng.integers(30, 120))
+        seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, L))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(0, 40, L))
+        recs.append(f"@read{i} comment here\n{seq}\n+\n{q}\n")
+    data = "".join(recs).encode()
+    names, codes, quals, lens, consumed = native.parse_fastq_chunk(
+        data, 64, 128)
+    assert len(names) == 50
+    assert consumed == len(data)
+    for i in range(50):
+        line = recs[i].split("\n")
+        assert names[i] == f"read{i}"
+        L = len(line[1])
+        assert lens[i] == min(L, 128)
+        exp = dna.encode(line[1])
+        np.testing.assert_array_equal(codes[i, :lens[i]], exp[:lens[i]])
+        expq = np.frombuffer(line[3].encode(), np.uint8) - 33
+        np.testing.assert_array_equal(quals[i, :lens[i]], expq[:lens[i]])
+
+
+def test_fastq_native_partial_record(lib):
+    data = b"@a\nACGT\n+\nIIII\n@b\nACG"
+    names, codes, quals, lens, consumed = native.parse_fastq_chunk(
+        data, 8, 16)
+    assert names == ["a"]
+    assert consumed == 15
+
+
+def test_sam_numeric_native(lib, rng):
+    header = SamHeader.parse(["@SQ\tSN:c1\tLN:100000"])
+    lines = []
+    for i in range(40):
+        tile, x, y = (int(rng.integers(1, 999)), int(rng.integers(1, 30000)),
+                      int(rng.integers(1, 30000)))
+        q = "".join(chr(33 + int(v)) for v in rng.integers(0, 41, 60))
+        cig = ["60M", "5S50M5S", "10H40M2I8M", "30M100D30M", "*"][i % 5]
+        flag = [0, 16, 99, 147, 4][i % 5]
+        pos = int(rng.integers(1, 90000)) if flag != 4 else 0
+        lines.append("\t".join(
+            [f"I1:2:FC:3:{tile}:{x}:{y}", str(flag),
+             "c1" if flag != 4 else "*", str(pos), "37", cig, "*", "0",
+             "0", "A" * 60, q]))
+    data = ("\n".join(["@SQ\tSN:c1\tLN:100000"] + lines) + "\n").encode()
+    out = native.parse_sam_numeric(data, 64)
+    recs = parse_sam_records(lines, header)
+    assert len(out["flag"]) == len(recs)
+    np.testing.assert_array_equal(out["flag"], recs.flag)
+    np.testing.assert_array_equal(out["pos"] - 1, recs.pos)
+    np.testing.assert_array_equal(out["score"], recs.score)
+    np.testing.assert_array_equal(out["tile"], recs.tile)
+    np.testing.assert_array_equal(out["tx"], recs.tx)
+    np.testing.assert_array_equal(out["ty"], recs.ty)
+    # prime5 reconstruction from the numeric fields
+    from fgdp_tpu.io.sam import FREVERSE
+    kt = header.ktable()
+    uc = np.where(recs.rid >= 0, kt[np.maximum(recs.rid, 0)] + recs.pos,
+                  kt[-1])
+    has_cig = np.array([len(c) > 0 for c in recs.cigars])
+    fwd = (recs.flag & FREVERSE) == 0
+    p5 = np.where(~has_cig, uc,
+                  np.where(fwd, uc - out["lead_clip"],
+                           uc + out["ref_len"] + out["tail_clip"] - 1))
+    np.testing.assert_array_equal(p5, recs.prime5)
