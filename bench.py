@@ -100,15 +100,16 @@ def bench_pairhmm(NP=2048, R=151, H=384):
     pq = ph2pr[q]
     tr = pairhmm.transitions(np.full((NP, R), 45), np.full((NP, R), 45),
                              np.full((NP, R), 10), np.float32)
+    from fgdp_tpu.ops.pairhmm_pallas import forward_f32_pallas
     args = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
             jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
-    out = pairhmm.forward_f32(*args)
+    out = forward_f32_pallas(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(3):
-        out = pairhmm.forward_f32(*args)
+    for _ in range(5):
+        out = forward_f32_pallas(*args)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / 3
+    dt = (time.perf_counter() - t0) / 5
     return NP * R * H / dt / 1e9
 
 

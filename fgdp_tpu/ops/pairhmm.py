@@ -191,19 +191,31 @@ def forward_f64(reads, rlens, pq64, trans64, haps, hlens):
     return out
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def compute_log_likelihoods(reads, rlens, quals, i_quals, d_quals, c_quals,
                             haps, hlens):
     """Full GKL semantics: f32 first, f64 rerun where the scaled result
     under-flowed (result < MIN_ACCEPTED after unscaling,
-    IntelPairHmm.cc:340-349). Host-facing: numpy in/out."""
+    IntelPairHmm.cc:340-349). Host-facing: numpy in/out. Uses the Pallas
+    kernel on accelerators, the jnp row-loop on CPU (bit-identical)."""
     ph2pr32 = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
     pq32 = ph2pr32[np.clip(quals, 0, 127)]
     tr32 = transitions(i_quals, d_quals, c_quals, np.float32)
-    out, raw = forward_f32(jnp.asarray(reads, jnp.int32),
-                           jnp.asarray(rlens, jnp.int32),
-                           jnp.asarray(pq32), jnp.asarray(tr32),
-                           jnp.asarray(haps, jnp.int32),
-                           jnp.asarray(hlens, jnp.int32))
+    if _use_pallas():
+        from .pairhmm_pallas import forward_f32_pallas as fwd
+    else:
+        fwd = forward_f32
+    out, raw = fwd(jnp.asarray(reads, jnp.int32),
+                   jnp.asarray(rlens, jnp.int32),
+                   jnp.asarray(pq32), jnp.asarray(tr32),
+                   jnp.asarray(haps, jnp.int32),
+                   jnp.asarray(hlens, jnp.int32))
     out = np.asarray(out).astype(np.float64)
     raw = np.asarray(raw)
     # unscaled result = raw / 2^120; fallback when < MIN_ACCEPTED

@@ -1,0 +1,135 @@
+"""PairHMM forward kernel in Pallas (TPU).
+
+The jnp row-loop (ops/pairhmm.py) round-trips the M/X/Y state through HBM
+on every read row; this kernel keeps the whole DP state of a pair tile in
+VMEM and streams only the inputs — the TPU analogue of the reference's
+register-striped AVX kernel (deepmutect .../intel/pairhmm/
+avx-pairhmm-template.h:204).
+
+Layout: PAIRS on the lane dimension (TILE_P pairs per grid step),
+haplotype columns on sublanes — so per-read-row inputs are dynamic slices
+of the leading (sublane) dimension, which Mosaic supports, and per-pair
+scalars broadcast naturally as [1, TILE_P] rows. The in-row deletion
+recurrence is computed by log-doubling sublane shifts (associative).
+
+Numerics match ops/pairhmm._forward (same op order); tests compare the
+two lane-for-lane.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pairhmm import GM, MM, MX, MY, XX, YY
+
+TILE_P = 256    # pairs per grid step (2 lane tiles; measured optimum)
+
+
+def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
+            acc_ref, m_ref, x_ref, y_ref, *, R, H, n_doubling):
+    P = reads_ref.shape[1]
+    init_const = jnp.float32(2.0) ** 120
+    hlens = hlens_ref[:]                               # (1, P) int32
+    rlens = rlens_ref[:]                               # (1, P)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (H + 1, P), 0)
+    col_valid = (jrow >= 1) & (jrow <= hlens)
+    hap_at = jnp.concatenate(
+        [jnp.full((1, P), 4, jnp.int32), haps_ref[:]], axis=0)
+
+    m_ref[:] = jnp.zeros((H + 1, P), jnp.float32)
+    x_ref[:] = jnp.zeros((H + 1, P), jnp.float32)
+    y_ref[:] = jnp.broadcast_to(init_const / hlens.astype(jnp.float32),
+                                (H + 1, P))
+    acc_ref[:] = jnp.zeros((1, P), jnp.float32)
+
+    def shiftk(a, k):
+        z = jnp.zeros((k, P), jnp.float32)
+        return jnp.concatenate([z, a[:H + 1 - k]], axis=0)
+
+    def row(i, _):
+        rbase = reads_ref[pl.ds(i, 1), :]              # (1, P)
+        pq_i = pq_ref[pl.ds(i, 1), :]
+        t_mm = trans_ref[pl.ds(i * 6 + MM, 1), :]
+        t_gm = trans_ref[pl.ds(i * 6 + GM, 1), :]
+        t_mx = trans_ref[pl.ds(i * 6 + MX, 1), :]
+        t_xx = trans_ref[pl.ds(i * 6 + XX, 1), :]
+        t_my = trans_ref[pl.ds(i * 6 + MY, 1), :]
+        t_yy = trans_ref[pl.ds(i * 6 + YY, 1), :]
+        Mp, Xp, Yp = m_ref[:], x_ref[:], y_ref[:]
+        match = (hap_at == rbase) | (hap_at >= 4) | (rbase >= 4)
+        prior = jnp.where(match, 1.0 - pq_i, pq_i / 3.0)
+        Mi = prior * (shiftk(Mp, 1) * t_mm +
+                      (shiftk(Xp, 1) + shiftk(Yp, 1)) * t_gm)
+        Mi = jnp.where(jrow >= 1, Mi, 0.0)
+        Xi = Mp * t_mx + Xp * t_xx
+        Xi = jnp.where(jrow >= 1, Xi, 0.0)
+        u = shiftk(Mi, 1) * t_my
+        cp = t_yy
+        y = u
+        k = 1
+        for _ in range(n_doubling):
+            y = y + cp * shiftk(y, k)
+            cp = cp * cp
+            k <<= 1
+        Yi = jnp.where(jrow >= 1, y, 0.0)
+        rowsum = jnp.sum(jnp.where(col_valid, Mi + Xi, 0.0), axis=0,
+                         keepdims=True)
+        live = (i < rlens).astype(jnp.float32)
+        acc_ref[:] = jnp.where(i + 1 == rlens, rowsum, acc_ref[:])
+        m_ref[:] = Mi * live + Mp * (1.0 - live)
+        x_ref[:] = Xi * live + Xp * (1.0 - live)
+        y_ref[:] = Yi * live + Yp * (1.0 - live)
+        return 0
+
+    jax.lax.fori_loop(0, R, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def forward_f32_pallas(reads, rlens, pq, trans, haps, hlens,
+                       interpret=False):
+    """Same contract as pairhmm.forward_f32 (log10 lik, raw sums).
+    reads int32[NP, R], pq f32[NP, R], trans f32[NP, R, 6],
+    haps int32[NP, H], rlens/hlens int32[NP]."""
+    NP, R = reads.shape
+    H = haps.shape[1]
+    pad = (-NP) % TILE_P
+    if pad:
+        z = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        reads, pq, trans, haps = map(z, (reads, pq, trans, haps))
+        rlens = jnp.pad(rlens, (0, pad), constant_values=1)
+        hlens = jnp.pad(hlens, (0, pad), constant_values=1)
+    NPP = reads.shape[0]
+    # transpose: rows/components leading, pairs on lanes
+    reads_T = reads.T.astype(jnp.int32)                  # [R, NPP]
+    pq_T = pq.T.astype(jnp.float32)
+    trans_T = jnp.moveaxis(trans, 0, 2).reshape(R * 6, NPP) \
+        .astype(jnp.float32)                             # [(i,c) -> i*6+c]
+    haps_T = haps.T.astype(jnp.int32)                    # [H, NPP]
+    rlens_T = rlens.reshape(1, NPP).astype(jnp.int32)
+    hlens_T = hlens.reshape(1, NPP).astype(jnp.int32)
+
+    n_doubling = max(1, int(np.ceil(np.log2(max(H, 2)))))
+    grid = (NPP // TILE_P,)
+    tile = lambda rows: pl.BlockSpec((rows, TILE_P), lambda g: (0, g),
+                                     memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        functools.partial(_kernel, R=R, H=H, n_doubling=n_doubling),
+        grid=grid,
+        in_specs=[tile(R), tile(R), tile(R * 6), tile(H), tile(1), tile(1)],
+        out_specs=tile(1),
+        out_shape=jax.ShapeDtypeStruct((1, NPP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((H + 1, TILE_P), jnp.float32)
+                        for _ in range(3)],
+        interpret=interpret,
+    )(reads_T, pq_T, trans_T, haps_T, rlens_T, hlens_T)
+    acc = acc[0, :NP]
+    log10_ic = jnp.float32(120 * np.log10(2.0))
+    out = jnp.log10(jnp.maximum(acc, jnp.finfo(jnp.float32).tiny)) - log10_ic
+    return out, acc

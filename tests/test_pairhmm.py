@@ -70,6 +70,26 @@ def test_match_to_match_table():
         assert abs(got - exp) < 1e-4, (i, j, got, exp)
 
 
+def test_pallas_kernel_matches_jnp(rng):
+    """Pallas kernel (interpret mode on CPU) is bit-identical to the jnp
+    row-loop."""
+    import jax.numpy as jnp
+
+    from fgdp_tpu.ops import pairhmm_pallas
+
+    n = 10
+    reads, rlens, q, iq, dq, cq, haps, hlens = _random_cases(rng, n)
+    ph = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
+    pq = ph[np.clip(q, 0, 127)]
+    tr = pairhmm.transitions(iq, dq, cq, np.float32)
+    args = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
+            jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
+    o1, a1 = pairhmm.forward_f32(*args)
+    o2, a2 = pairhmm_pallas.forward_f32_pallas(*args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
 def test_pairhmm_f64_fallback(rng):
     """A hopeless read (all mismatches, long) must route through the f64
     path and still return a finite, very low likelihood."""
