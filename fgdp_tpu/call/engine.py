@@ -86,12 +86,17 @@ def _pairhmm_matrix(reads, haps):
 class Mutect2Engine:
     def __init__(self, ref_codes, contig_name, cfg: CallConfig | None = None,
                  emission_log10_odds=DEFAULT_EMISSION_LOG10_ODDS,
-                 normal_log10_odds=DEFAULT_NORMAL_LOG10_ODDS):
+                 normal_log10_odds=DEFAULT_NORMAL_LOG10_ODDS,
+                 cnn_model_path=None):
         self.ref = np.asarray(ref_codes, np.uint8)
         self.contig = contig_name
         self.cfg = cfg or CallConfig()
         self.emission = emission_log10_odds
         self.normal_odds = normal_log10_odds
+        self.cnn = None
+        if cnn_model_path:
+            from .cnn_filter import CnnFilter
+            self.cnn = CnnFilter(cnn_model_path)
 
     def call(self, tumor_reads, normal_reads=()):
         """tumor_reads/normal_reads: list of dicts (pos, cigar, seq_codes,
@@ -148,6 +153,14 @@ class Mutect2Engine:
                     all_events[(e.pos, e.ref, e.alt)] = e
         if not all_events:
             return []
+
+        # CNN gate ("deep" mode): dense regions the classifier deems
+        # germline/noise are skipped wholesale (main.cpp:213-221)
+        if self.cnn is not None and len(t_reads) > 100:
+            for (pos, _, _) in sorted(all_events):
+                if self.cnn.is_germline_or_noise(self.ref, t_reads,
+                                                 n_reads, pos):
+                    return []
 
         t_lik = _pairhmm_matrix(t_reads, hap_bases)     # [H, Rt] log10
         n_lik = _pairhmm_matrix(n_reads, hap_bases) if n_reads else None

@@ -131,7 +131,7 @@ def cmd_mutect(args):
         nr = [r for r in normal if r["rid"] == cid]
         if not t:
             continue
-        eng = Mutect2Engine(codes, cname)
+        eng = Mutect2Engine(codes, cname, cnn_model_path=args.deep_model)
         all_calls.extend(eng.call(t, nr))
     write_vcf(args.output, all_calls, ref.names,
               np.diff(ref.offsets).tolist(),
@@ -167,6 +167,7 @@ def main(argv=None):
     pc.add_argument("-I", "--input", required=True)
     pc.add_argument("-N", "--normal")
     pc.add_argument("-O", "--output", required=True)
+    pc.add_argument("--deep-model", help="TorchScript CNN gate (trans.pt)")
     pc.set_defaults(fn=cmd_mutect)
 
     args = p.parse_args(argv)
