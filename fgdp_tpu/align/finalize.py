@@ -197,6 +197,105 @@ def gen_cigar(pref: PackedReference, opt: AlignConfig, w, qb_query, rb, re,
     return score, cigar, n_mm + n_gap, "".join(md), rseq, query
 
 
+def ksw_global_batch(queries, qlens, targets, tlens, ws, o_del, e_del,
+                     o_ins, e_ins, mat):
+    """Batched ksw_global: same cell semantics, vectorized over N jobs.
+    queries/targets: int arrays [N, QM]/[N, TM]; qlens/tlens/ws: int[N].
+    Returns (scores int[N], cigars list[[(op, len)]])."""
+    N, QM = queries.shape
+    TM = targets.shape[1]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    mat = np.asarray(mat, np.int64).reshape(5, 5)
+    q_prof = mat[:, np.clip(queries, 0, 4)]            # [5, N, QM]
+    ws = np.asarray(ws, np.int64)
+    qlens = np.asarray(qlens, np.int64)
+    tlens = np.asarray(tlens, np.int64)
+
+    eh_h = np.full((N, QM + 2), MINUS_INF, np.int64)
+    eh_e = np.full((N, QM + 2), MINUS_INF, np.int64)
+    eh_h[:, 0] = 0
+    jr = np.arange(1, QM + 1)[None, :]
+    eh_h[:, 1:QM + 1] = np.where(
+        (jr <= ws[:, None]) & (jr <= qlens[:, None]),
+        -(o_ins + e_ins * jr), MINUS_INF)
+    z = np.zeros((N, TM, QM), np.uint8)
+    jcols = np.arange(QM)[None, :]
+    rows = np.arange(N)
+
+    for i in range(int(tlens.max()) if N else 0):
+        act = i < tlens
+        if not act.any():
+            break
+        beg = np.maximum(i - ws, 0)
+        end = np.minimum(np.minimum(i + ws + 1, qlens), QM)
+        in_band = (jcols >= beg[:, None]) & (jcols < end[:, None]) & \
+            act[:, None]
+        h1_init = np.where(beg == 0, -(o_del + e_del * (i + 1)), MINUS_INF)
+        tbase = targets[rows, np.minimum(i, TM - 1)]
+        q = q_prof[np.clip(tbase, 0, 4), rows]          # [N, QM]
+        Hd = eh_h[:, 0:QM]
+        E = eh_e[:, 0:QM]
+        m = Hd + q
+        d = (m < E).astype(np.uint8)
+        h = np.maximum(m, E)
+        v = np.where(in_band, m - oe_ins, MINUS_INF) + jcols * e_ins
+        cm = np.maximum.accumulate(v, axis=1)
+        F = np.full((N, QM), MINUS_INF, np.int64)
+        F[:, 1:] = cm[:, :-1] - (jcols[:, 1:] - 1) * e_ins
+        d = np.where(h >= F, d, 2).astype(np.uint8)
+        H = np.maximum(h, F)
+        d |= ((E - e_del > m - oe_del).astype(np.uint8)) << 2
+        d |= ((F - e_ins > m - oe_ins).astype(np.uint8)) << 5
+        z[:, i, :] = np.where(in_band, d, 0)
+        new_e = np.maximum(m - oe_del, E - e_del)
+        eh_e[:, 0:QM] = np.where(in_band, new_e, eh_e[:, 0:QM])
+        Hsh = np.where(in_band, H, 0)
+        wr = (jcols + 1 >= beg[:, None] + 1) & (jcols + 1 <= end[:, None])
+        eh_h[:, 1:QM + 1] = np.where(wr & act[:, None], Hsh,
+                                     eh_h[:, 1:QM + 1])
+        eh_h[rows, beg] = np.where(act, h1_init, eh_h[rows, beg])
+        eh_e[rows, end] = np.where(act, MINUS_INF, eh_e[rows, end])
+
+    scores = eh_h[rows, qlens]
+    # ---- vectorized traceback ----
+    max_steps = int((qlens + tlens).max() + 4) if N else 0
+    ops = np.zeros((N, max_steps), np.int8)
+    nsteps = np.zeros(N, np.int64)
+    i_cur = tlens - 1
+    k_cur = np.minimum(i_cur + ws + 1, qlens) - 1
+    which = np.zeros(N, np.int64)
+    alive = (i_cur >= 0) & (k_cur >= 0)
+    step = 0
+    while alive.any() and step < max_steps:
+        zi = z[rows, np.maximum(i_cur, 0), np.maximum(k_cur, 0)]
+        which = np.where(alive, (zi >> (which << 1)) & 3, which)
+        op = np.where(which == 0, 0, np.where(which == 1, 2, 1))
+        ops[alive, step] = op[alive] + 1     # 1-based so 0 = no-op
+        nsteps[alive] += 1
+        di = np.where(which <= 1, 1, 0)
+        dk = np.where((which == 0) | (which >= 2), 1, 0)
+        i_cur = np.where(alive, i_cur - di, i_cur)
+        k_cur = np.where(alive, k_cur - dk, k_cur)
+        alive = alive & (i_cur >= 0) & (k_cur >= 0)
+        step += 1
+    cigars = []
+    for n in range(N):
+        seq = ops[n, :nsteps[n]][::-1] - 1       # 0=M 1=I 2=D, reversed
+        pre = []
+        if i_cur[n] >= 0:
+            pre.append((2, int(i_cur[n]) + 1))
+        if k_cur[n] >= 0:
+            pre.append((1, int(k_cur[n]) + 1))
+        cig = list(pre)
+        if len(seq):
+            change = np.flatnonzero(np.diff(seq)) + 1
+            bounds = np.concatenate([[0], change, [len(seq)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                _push(cig, int(seq[a]), int(b - a))
+        cigars.append(cig)
+    return scores, cigars
+
+
 # --------------------------------------------------------------------------
 # dedup / patch (mem_sort_dedup_patch)
 # --------------------------------------------------------------------------
@@ -460,6 +559,174 @@ def reg2aln(pref: PackedReference, opt: AlignConfig, query, reg):
     return aln
 
 
+def _md_nm(cigar, query, rseq, int2base):
+    """NM/MD from an alignment (bwa_gen_cigar2 tail), numpy per M run."""
+    md = []
+    x = y = u = 0
+    n_mm = n_gap = 0
+    for ci, (op, ln) in enumerate(cigar):
+        if op == 0:
+            qs = np.asarray(query[x:x + ln])
+            rs = np.asarray(rseq[y:y + ln])
+            mism = np.flatnonzero(qs != rs)
+            prev = -1
+            for i in mism:
+                i = int(i)
+                md.append(str((u + i) if prev < 0 else (i - prev - 1)))
+                md.append(int2base[int(rs[i])])
+                prev = i
+                n_mm += 1
+            u = (ln - prev - 1) if prev >= 0 else u + ln
+            x += ln
+            y += ln
+        elif op == 2:
+            if 0 < ci < len(cigar) - 1:
+                md.append(str(u))
+                md.append("^")
+                md.extend(int2base[int(b)] for b in rseq[y:y + ln])
+                u = 0
+                n_gap += ln
+            y += ln
+        elif op == 1:
+            x += ln
+            n_gap += ln
+    md.append(str(u))
+    return n_mm + n_gap, "".join(md)
+
+
+def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
+    """Batched mem_reg2aln over [(codes, reg)] — the per-read DP of
+    bwa_gen_cigar2 runs through ksw_global_batch in w2-doubling rounds.
+    Returns aln dicts in job order (exactly matching reg2aln)."""
+    N = len(jobs)
+    alns = []
+    lanes = []   # per-lane DP state for mapped regs
+    for codes, reg in jobs:
+        if reg is None or reg["rb"] < 0 or reg["re"] < 0:
+            alns.append(dict(flag=0x4, cigar=[], md="", nm=-1, sub=-1,
+                             score=-1, mapq=0, rid=-1, pos=-1,
+                             is_rev=False, is_alt=False, alt_sc=0))
+            continue
+        alns.append(None)
+        qb, qe, rb, re = reg["qb"], reg["qe"], reg["rb"], reg["re"]
+        query = np.asarray(codes[qb:qe], np.uint8).copy()
+        rseq = pref.get_seq(rb, re).copy()
+        if len(rseq) != re - rb or len(query) == 0:
+            # bridging / out of range: scalar fallback
+            alns[-1] = reg2aln(pref, opt, codes, reg)
+            continue
+        if rb >= pref.l_pac:
+            query = query[::-1].copy()
+            rseq = rseq[::-1].copy()
+        w2 = max(infer_bw(qe - qb, re - rb, reg["truesc"], opt.a,
+                          opt.o_del, opt.e_del),
+                 infer_bw(qe - qb, re - rb, reg["truesc"], opt.a,
+                          opt.o_ins, opt.e_ins))
+        if w2 > opt.w:
+            w2 = min(w2, reg["w"])
+        lanes.append(dict(idx=len(alns) - 1, codes=codes, reg=reg,
+                          query=query, rseq=rseq, w2=w2,
+                          last_sc=-(1 << 30), it=0, done=False,
+                          score=None, cigar=None))
+
+    mat = opt.score_matrix()
+    # w2-doubling rounds (reg2aln loop, bwamem.cpp:2220-2229)
+    for _ in range(5):
+        pend = [ln for ln in lanes if not ln["done"]]
+        if not pend:
+            break
+        dp = []
+        for ln in pend:
+            ln["w2"] = min(ln["w2"], opt.w * 4)
+            l_query = len(ln["query"])
+            rlen = len(ln["rseq"])
+            if l_query == rlen and ln["w2"] == 0:   # no-gap fast path
+                ln["cigar"] = [(0, l_query)]
+                ln["score"] = int(sum(
+                    int(mat[ln["rseq"][i], ln["query"][i]])
+                    for i in range(l_query)))
+            else:
+                max_ins = int((((l_query + 1) >> 1) * opt.a - opt.o_ins) /
+                              opt.e_ins + 1.0)
+                max_del = int((((l_query + 1) >> 1) * opt.a - opt.o_del) /
+                              opt.e_del + 1.0)
+                max_gap = max(max(max_ins, max_del), 1)
+                ww = (max_gap + abs(rlen - l_query) + 1) >> 1
+                ww = min(ww, ln["w2"])
+                ww = max(ww, abs(rlen - l_query) + 3)
+                ln["_ww"] = ww
+                dp.append(ln)
+        if dp:
+            QM = max(len(ln["query"]) for ln in dp)
+            TM = max(len(ln["rseq"]) for ln in dp)
+            qs = np.zeros((len(dp), QM), np.int64)
+            ts = np.zeros((len(dp), TM), np.int64)
+            qlens = np.zeros(len(dp), np.int64)
+            tlens = np.zeros(len(dp), np.int64)
+            ws = np.zeros(len(dp), np.int64)
+            for i, ln in enumerate(dp):
+                qs[i, :len(ln["query"])] = ln["query"]
+                ts[i, :len(ln["rseq"])] = ln["rseq"]
+                qlens[i] = len(ln["query"])
+                tlens[i] = len(ln["rseq"])
+                ws[i] = ln["_ww"]
+            scores, cigars = ksw_global_batch(
+                qs, qlens, ts, tlens, ws, opt.o_del, opt.e_del,
+                opt.o_ins, opt.e_ins, mat)
+            for i, ln in enumerate(dp):
+                ln["score"] = int(scores[i])
+                ln["cigar"] = cigars[i]
+        for ln in pend:
+            if ln["score"] == ln["last_sc"] or ln["w2"] == opt.w * 4:
+                ln["done"] = True
+                continue
+            ln["last_sc"] = ln["score"]
+            ln["w2"] <<= 1
+            ln["it"] += 1
+            if ln["it"] >= 3 or ln["score"] >= \
+                    ln["reg"]["truesc"] - opt.a:
+                ln["done"] = True
+
+    for ln in lanes:
+        reg, codes = ln["reg"], ln["codes"]
+        cigar = ln["cigar"]
+        rb, re, qb, qe = reg["rb"], reg["re"], reg["qb"], reg["qe"]
+        l_query = len(codes)
+        int2base = "ACGTN" if rb < pref.l_pac else "TGCAN"
+        nm, md = _md_nm(cigar, ln["query"], ln["rseq"], int2base)
+        aln = dict(flag=0, cigar=[], md=md, nm=nm, sub=-1, score=-1,
+                   mapq=0, rid=-1, pos=-1, is_rev=False, is_alt=False,
+                   alt_sc=0)
+        aln["mapq"] = approx_mapq(opt, reg) if reg["secondary"] < 0 else 0
+        if reg["secondary"] >= 0:
+            aln["flag"] |= 0x100
+        pos_f, is_rev = pref.depos(rb if rb < pref.l_pac else re - 1)
+        aln["is_rev"] = is_rev
+        if cigar:
+            if cigar[0][0] == 2:
+                pos_f += cigar[0][1]
+                cigar = cigar[1:]
+            elif cigar[-1][0] == 2:
+                cigar = cigar[:-1]
+        if qb != 0 or qe != l_query:
+            clip5 = l_query - qe if is_rev else qb
+            clip3 = qb if is_rev else l_query - qe
+            if clip5:
+                cigar = [(3, clip5)] + cigar
+            if clip3:
+                cigar = cigar + [(3, clip3)]
+        aln["cigar"] = cigar
+        rid = pref.pos2rid(pos_f)
+        aln["rid"] = rid
+        aln["pos"] = int(pos_f - pref.offsets[rid])
+        aln["score"] = reg["score"]
+        aln["sub"] = max(reg["sub"], reg.get("csub", 0))
+        aln["is_alt"] = reg["is_alt"]
+        aln["alt_sc"] = reg.get("alt_sc", 0)
+        alns[ln["idx"]] = aln
+    return alns
+
+
 def _cigar_str(opt, aln, which):
     if not aln["cigar"]:
         return "*"
@@ -568,10 +835,17 @@ def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
     return "\t".join(cols + tags)
 
 
+def selected_regs(opt: AlignConfig, regs):
+    """Indices of regs that mem_reg2sam will emit (score/secondary gate)."""
+    return [k for k, r in enumerate(regs)
+            if r["score"] >= opt.T and r["secondary"] < 0]
+
+
 def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
-            regs, read_id, extra_flag=0, mate=None):
+            regs, read_id, extra_flag=0, mate=None, alns_by_k=None):
     """mem_reg2sam (bwamem.cpp:1983-2040). regs already through
-    dedup + mark_primary. Returns list of SAM lines."""
+    dedup + mark_primary. alns_by_k: optional precomputed reg2aln
+    results (from reg2aln_batch). Returns list of SAM lines."""
     alns = []
     keep = []
     for k, r in enumerate(regs):
@@ -579,7 +853,8 @@ def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
             continue
         if r["secondary"] >= 0:   # MEM_F_ALL (-a) not yet supported
             continue
-        a = reg2aln(pref, opt, codes, r)
+        a = alns_by_k[k] if alns_by_k is not None and k in alns_by_k \
+            else reg2aln(pref, opt, codes, r)
         a["flag"] |= extra_flag
         if r["secondary"] >= 0:
             a["sub"] = -1

@@ -52,11 +52,28 @@ def _reads_for_span(reads, start, end):
 
 
 def _pairhmm_matrix(reads, haps):
-    """log10 likelihood matrix [H, R] via the device PairHMM."""
+    """log10 likelihood matrix [H, R] via the device PairHMM.
+
+    Identical (bases, quals) reads share one computed column — the
+    reference's read dedup (VectorLoglessPairHMM.cpp:53-114)."""
     H = len(haps)
     R = len(reads)
     if H == 0 or R == 0:
         return np.zeros((H, R))
+    keys = {}
+    rep = []          # unique read indices
+    col_of = np.zeros(R, np.int64)
+    for i, rd in enumerate(reads):
+        k = (rd["seq_codes"].tobytes(), np.asarray(rd["quals"]).tobytes())
+        if k in keys:
+            col_of[i] = keys[k]
+        else:
+            keys[k] = len(rep)
+            col_of[i] = len(rep)
+            rep.append(i)
+    if len(rep) < R:
+        uniq = _pairhmm_matrix([reads[i] for i in rep], haps)
+        return uniq[:, col_of]
     rmax = max(len(r["seq_codes"]) for r in reads)
     hmax = max(len(h) for h in haps)
     NP = H * R

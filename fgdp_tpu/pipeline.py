@@ -70,13 +70,27 @@ class Aligner:
         """Single-end alignment. names: list[str]; seq_codes: list of int
         arrays (0..4). Returns SAM lines (one or more per read)."""
         reg_lists = self._reg_lists(seq_codes, self._device_regs(seq_codes))
-        out = []
+        # batch the reg2aln DP (CIGAR/MD) across the whole read batch
+        jobs = []
+        job_of = []
         for b, rl in enumerate(reg_lists):
             finalize.mark_primary(self.opt, rl, id0 + b)
+            codes = np.asarray(seq_codes[b], np.int64)
+            for k in finalize.selected_regs(self.opt, rl):
+                jobs.append((codes, rl[k]))
+                job_of.append((b, k))
+        alns = finalize.reg2aln_batch(self.pref, self.opt, jobs) \
+            if jobs else []
+        aln_maps = [dict() for _ in reg_lists]
+        for (b, k), a in zip(job_of, alns):
+            aln_maps[b][k] = a
+        out = []
+        for b, rl in enumerate(reg_lists):
             qual = quals[b] if quals else None
-            out.extend(finalize.reg2sam(self.pref, self.opt, names[b],
-                                        np.asarray(seq_codes[b], np.int64),
-                                        qual, rl, id0 + b))
+            out.extend(finalize.reg2sam(
+                self.pref, self.opt, names[b],
+                np.asarray(seq_codes[b], np.int64), qual, rl, id0 + b,
+                alns_by_k=aln_maps[b]))
         return out
 
     def align_pairs(self, names, seq_codes, quals=None, id0: int = 0):
