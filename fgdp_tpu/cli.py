@@ -67,24 +67,35 @@ def _read_batches(paths, batch):
 
 
 def cmd_mem(args):
+    from .utils.profiling import PROF, READ_IO, SAM_IO, WORKER_SAM
+
     aligner = _load_aligner(args.prefix, args.batch)
     out = open(args.output, "w") if args.output else sys.stdout
     for ln in aligner.sam_header():
         out.write(ln + "\n")
     n = 0
     t0 = time.time()
-    for names, seqs, quals in _read_batches(args.reads, args.batch):
-        if len(args.reads) == 2:
-            lines = aligner.align_pairs(names, seqs, quals, id0=n)
-        else:
-            lines = aligner.align_batch(names, seqs, quals, id0=n)
-        for ln in lines:
-            out.write(ln + "\n")
+    it = _read_batches(args.reads, args.batch)
+    while True:
+        with PROF.phase(READ_IO):
+            batch = next(it, None)
+        if batch is None:
+            break
+        names, seqs, quals = batch
+        with PROF.phase(WORKER_SAM):
+            if len(args.reads) == 2:
+                lines = aligner.align_pairs(names, seqs, quals, id0=n)
+            else:
+                lines = aligner.align_batch(names, seqs, quals, id0=n)
+        with PROF.phase(SAM_IO):
+            for ln in lines:
+                out.write(ln + "\n")
         n += len(names)
         dt = max(time.time() - t0, 1e-9)
         print(f"[mem] {n} reads, {n/dt:.0f} reads/s", file=sys.stderr)
     if args.output:
         out.close()
+    PROF.display_stats(units=n, unit_name="reads")
 
 
 def cmd_sormadup(args):
