@@ -51,18 +51,28 @@ def main():
     codes[rev] = 3 - codes[rev][:, ::-1]
     lens = np.full(B, L, np.int32)
 
+    # NOTE: the axon relay caches identical (executable, inputs) runs, so
+    # every timed iteration must use distinct inputs AND materialize its
+    # output to host.
     fn = jax.jit(functools.partial(device_align, opt=opt, shapes=shapes))
-    args = (dfm, dref, jnp.asarray(codes), jnp.asarray(lens),
-            jnp.ones(B, bool))
+    n_iter = 4
+    batches = []
+    for it in range(n_iter + 1):
+        pos = rng.integers(0, n_ref - L, B)
+        c = np.stack([pref.codes[p:p + L] for p in pos]).astype(np.int32)
+        m = rng.random(c.shape) < 0.01
+        c = np.where(m, rng.integers(0, 4, c.shape), c)
+        batches.append(jnp.asarray(c))
+    lens_d = jnp.asarray(lens)
+    act = jnp.ones(B, bool)
     print("compiling...", file=sys.stderr)
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(dfm, dref, batches[0], lens_d, act)
+    _ = np.asarray(out.score[:1, :1])
 
-    n_iter = 3
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for it in range(n_iter):
+        out = fn(dfm, dref, batches[it + 1], lens_d, act)
+        _ = np.asarray(out.score[:1, :1])
     dt = (time.perf_counter() - t0) / n_iter
     reads_per_s = B / dt
     print(f"align: {reads_per_s:.0f} reads/s/chip", file=sys.stderr)
@@ -83,10 +93,15 @@ def main():
 
 
 def bench_pairhmm(NP=2048, R=151, H=384):
+    """Two chain lengths (K=4, K=20) of serially-dependent kernel calls
+    inside one jit; per-call time = (t20 - t4) / 16. This subtracts the
+    relay round-trip + input-transfer fixed cost and defeats the relay's
+    identical-run result cache (distinct inputs per timed run)."""
     import jax
     import jax.numpy as jnp
 
     from fgdp_tpu.ops import pairhmm
+    from fgdp_tpu.ops.pairhmm_pallas import forward_f32_pallas
 
     rng = np.random.default_rng(1)
     reads = rng.integers(0, 4, (NP, R)).astype(np.int32)
@@ -100,17 +115,37 @@ def bench_pairhmm(NP=2048, R=151, H=384):
     pq = ph2pr[q]
     tr = pairhmm.transitions(np.full((NP, R), 45), np.full((NP, R), 45),
                              np.full((NP, R), 10), np.float32)
-    from fgdp_tpu.ops.pairhmm_pallas import forward_f32_pallas
-    args = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
-            jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
-    out = forward_f32_pallas(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = forward_f32_pallas(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / 5
-    return NP * R * H / dt / 1e9
+
+    def make_chain(K):
+        @jax.jit
+        def chain(reads, rlens, p0, tr, haps, hlens):
+            total = jnp.float32(0)
+            p = p0
+            for _ in range(K):
+                out, _ = forward_f32_pallas(reads, rlens, p, tr, haps,
+                                            hlens)
+                total = total + out.sum()
+                p = p + (out.sum() * 0 + 1e-12)   # serial dependency
+            return total
+        return chain
+
+    ts = {}
+    for K in (4, 20):
+        ch = make_chain(K)
+        warm = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
+                jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
+        _ = float(np.asarray(ch(*warm)))
+        best = 1e9
+        for trial in range(3):
+            a2 = (jnp.asarray(reads), jnp.asarray(rlens),
+                  jnp.asarray(pq + 1e-7 * (trial + 1) * K),
+                  jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
+            t0 = time.perf_counter()
+            _ = float(np.asarray(ch(*a2)))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    per_call = max((ts[20] - ts[4]) / 16, 1e-9)
+    return NP * R * H / per_call / 1e9
 
 
 if __name__ == "__main__":
