@@ -832,7 +832,52 @@ def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
                           f"{''.join(str(ln) + _CIGAR_OPS[op] for op, ln in r['cigar'])},"
                           f"{r['mapq']},{r['nm']};")
             tags.append("SA:Z:" + "".join(sa))
+    if p.get("xa"):
+        tags.append("XA:Z:" + p["xa"])
     return "\t".join(cols + tags)
+
+
+def gen_alt(pref: PackedReference, opt: AlignConfig, codes, regs):
+    """mem_gen_alt (bwamem_extra.cpp:124-185): XA strings per reg index
+    (None where absent). Call after mark_primary."""
+    n = len(regs)
+    if n == 0:
+        return [None] * n
+
+    def pri_idx(i):
+        k = regs[i]["secondary_all"]
+        if k is not None and 0 <= k < n and \
+                regs[i]["score"] >= regs[k]["score"] * opt.XA_drop_ratio:
+            return k
+        return -1
+
+    cnt = [0] * n
+    has_alt = [False] * n
+    tot = 0
+    for i in range(n):
+        r = pri_idx(i)
+        if r >= 0:
+            cnt[r] += 1
+            tot += 1
+            if regs[i]["is_alt"]:
+                has_alt[r] = True
+    if tot == 0:
+        return [None] * n
+    aln = [[] for _ in range(n)]
+    for i in range(n):
+        r = pri_idx(i)
+        if r < 0:
+            continue
+        if cnt[r] > opt.max_XA_hits_alt or \
+                (not has_alt[r] and cnt[r] > opt.max_XA_hits):
+            continue
+        t = reg2aln(pref, opt, codes, regs[i])
+        cig = "".join(f"{ln}{_CIGAR_OPS[op] if op < 5 else 'N'}"
+                      for op, ln in t["cigar"])
+        aln[r].append(f"{pref.names[t['rid']]},"
+                      f"{'-' if t['is_rev'] else '+'}{t['pos'] + 1},"
+                      f"{cig},{t['nm']};")
+    return ["".join(x) if x else None for x in aln]
 
 
 def selected_regs(opt: AlignConfig, regs):
@@ -846,6 +891,7 @@ def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
     """mem_reg2sam (bwamem.cpp:1983-2040). regs already through
     dedup + mark_primary. alns_by_k: optional precomputed reg2aln
     results (from reg2aln_batch). Returns list of SAM lines."""
+    xa = gen_alt(pref, opt, codes, regs)
     alns = []
     keep = []
     for k, r in enumerate(regs):
@@ -855,6 +901,7 @@ def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
             continue
         a = alns_by_k[k] if alns_by_k is not None and k in alns_by_k \
             else reg2aln(pref, opt, codes, r)
+        a["xa"] = xa[k]
         a["flag"] |= extra_flag
         if r["secondary"] >= 0:
             a["sub"] = -1

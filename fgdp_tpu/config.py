@@ -67,8 +67,10 @@ class AlignConfig:
     chunk_size: int = 10_000_000   # bp per batch (reference -K)
 
     @property
-    def mapQ_coef_fac(self) -> float:
-        return math.log(self.mapQ_coef_len)
+    def mapQ_coef_fac(self) -> int:
+        # bwamem.h:109 declares mapQ_coef_fac as int, so log(50)=3.91
+        # truncates to 3 (bwamem.cpp:139); MAPQ parity requires matching it.
+        return int(math.log(self.mapQ_coef_len))
 
     def score_matrix(self):
         """5x5 substitution matrix, bwa_fill_scmat semantics: match=a,

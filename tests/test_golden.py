@@ -93,6 +93,22 @@ def test_golden_single_end(aligner):
     _compare(oracle, lines, CORE, 148, 148, len(names))
 
 
+def test_golden_repetitive_xa():
+    """Repetitive reference (3 near-identical 5kb repeats): exercises
+    mem_gen_alt XA:Z tags (bwamem_extra.cpp:124-185) and XS sub-scores."""
+    pref = PackedReference.from_fasta(os.path.join(HERE, "rep_ref.fa"))
+    al = Aligner.build(pref, shapes=SHAPES)
+    names, seqs, quals = _load_fastq(os.path.join(HERE, "rep.fq"))
+    lines = al.align_batch(names, seqs, quals)
+    with open(os.path.join(HERE, "rep.oracle.sam")) as f:
+        oracle = f.read().splitlines()
+    _compare(oracle, lines, CORE, 78, 76, len(names))
+    ref, ours = _index_sam(oracle), _index_sam(lines)
+    xa_match = sum(_tags(rf).get("XA") == _tags(ours[k]).get("XA")
+                   for k, rf in ref.items())
+    assert xa_match >= 74, xa_match
+
+
 def test_golden_paired_end(aligner):
     n1, s1, q1 = _load_fastq(os.path.join(HERE, "pe1.fq"))
     n2, s2, q2 = _load_fastq(os.path.join(HERE, "pe2.fq"))
