@@ -96,6 +96,7 @@ def encode_record(fields, name_to_rid, flag_override=None):
             body += b"\xff" * l_seq
         else:
             body += bytes(max(0, min(93, ord(c) - 33)) for c in qual)
+    body += _encode_tags(fields[11:])
     body = bytes(body)
     return struct.pack("<I", len(body)) + body
 

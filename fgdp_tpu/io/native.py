@@ -38,6 +38,8 @@ def get_lib():
         lib = ctypes.CDLL(_SO)
         lib.parse_fastq_chunk.restype = ctypes.c_long
         lib.parse_sam_numeric.restype = ctypes.c_long
+        lib.assign_rid_pairid.restype = None
+        lib.encode_bam_records.restype = ctypes.c_int64
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -72,7 +74,8 @@ def parse_fastq_chunk(data: bytes, max_reads: int, max_len: int,
 
 
 def parse_sam_numeric(data: bytes, max_recs: int):
-    """Returns dict of numeric per-record arrays + line offsets, or None."""
+    """Returns dict of numeric per-record arrays + line/column offsets,
+    or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -80,7 +83,8 @@ def parse_sam_numeric(data: bytes, max_recs: int):
     i64 = lambda: np.zeros(max_recs, np.int64)
     out = dict(flag=i32(), pos=i64(), mapq=i32(), lead_clip=i32(),
                tail_clip=i32(), ref_len=i32(), score=i32(), tile=i32(),
-               tx=i32(), ty=i32(), line_start=i64(), line_end=i64())
+               tx=i32(), ty=i32(), line_start=i64(), line_end=i64(),
+               qn_start=i64(), qn_end=i64(), rn_start=i64(), rn_end=i64())
     n = lib.parse_sam_numeric(
         data, ctypes.c_long(len(data)), ctypes.c_long(max_recs),
         _ptr(out["flag"], ctypes.c_int32), _ptr(out["pos"], ctypes.c_int64),
@@ -92,5 +96,75 @@ def parse_sam_numeric(data: bytes, max_recs: int):
         _ptr(out["tile"], ctypes.c_int32), _ptr(out["tx"], ctypes.c_int32),
         _ptr(out["ty"], ctypes.c_int32),
         _ptr(out["line_start"], ctypes.c_int64),
-        _ptr(out["line_end"], ctypes.c_int64))
+        _ptr(out["line_end"], ctypes.c_int64),
+        _ptr(out["qn_start"], ctypes.c_int64),
+        _ptr(out["qn_end"], ctypes.c_int64),
+        _ptr(out["rn_start"], ctypes.c_int64),
+        _ptr(out["rn_end"], ctypes.c_int64))
     return {k: v[:n] for k, v in out.items()}
+
+
+def _name_table(names):
+    """Concatenated NUL-separated contig names + int32 offsets."""
+    offs = np.zeros(max(len(names), 1), np.int32)
+    blob = bytearray()
+    for i, nm in enumerate(names):
+        offs[i] = len(blob)
+        blob += nm.encode() + b"\0"
+    return bytes(blob), offs
+
+
+def assign_rid_pairid(data: bytes, parsed: dict, names):
+    """rid + pair_id for records from parse_sam_numeric (BamParser
+    pop_record pairing, sortmardup/tbb/bam_parser.cpp:76-128).
+    Returns (rid int32[n], pair_id int64[n]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(parsed["flag"])
+    blob, offs = _name_table(names)
+    rid = np.zeros(n, np.int32)
+    pair_id = np.zeros(n, np.int64)
+    lib.assign_rid_pairid(
+        data, ctypes.c_long(n),
+        _ptr(parsed["qn_start"], ctypes.c_int64),
+        _ptr(parsed["qn_end"], ctypes.c_int64),
+        _ptr(parsed["rn_start"], ctypes.c_int64),
+        _ptr(parsed["rn_end"], ctypes.c_int64),
+        _ptr(parsed["flag"], ctypes.c_int32),
+        blob, _ptr(offs, ctypes.c_int32), ctypes.c_long(len(names)),
+        _ptr(rid, ctypes.c_int32), _ptr(pair_id, ctypes.c_int64))
+    return rid, pair_id
+
+
+def encode_bam_records(data: bytes, line_start, line_end, flag_override,
+                       names):
+    """Encode SAM lines (in the given order) to concatenated raw BAM
+    records. Returns (payload bytes, rec_off int64[n+1], rid int32[n],
+    pos int64[n], rlen int32[n]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(line_start)
+    line_start = np.ascontiguousarray(line_start, np.int64)
+    line_end = np.ascontiguousarray(line_end, np.int64)
+    flag_override = np.ascontiguousarray(flag_override, np.int32)
+    blob, offs = _name_table(names)
+    text_bytes = int((line_end - line_start).sum()) if n else 0
+    cap = text_bytes + 256 * max(n, 1) + 1024
+    out = np.empty(cap, np.uint8)
+    rec_off = np.zeros(n + 1, np.int64)
+    rid = np.zeros(n, np.int32)
+    pos = np.zeros(n, np.int64)
+    rlen = np.zeros(n, np.int32)
+    w = lib.encode_bam_records(
+        data, _ptr(line_start, ctypes.c_int64),
+        _ptr(line_end, ctypes.c_int64),
+        _ptr(flag_override, ctypes.c_int32), ctypes.c_long(n),
+        blob, _ptr(offs, ctypes.c_int32), ctypes.c_long(len(names)),
+        _ptr(out, ctypes.c_char), ctypes.c_int64(cap),
+        _ptr(rec_off, ctypes.c_int64), _ptr(rid, ctypes.c_int32),
+        _ptr(pos, ctypes.c_int64), _ptr(rlen, ctypes.c_int32))
+    if w < 0:
+        return None
+    return bytes(out[:w]), rec_off, rid, pos, rlen

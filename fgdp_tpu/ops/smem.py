@@ -72,6 +72,117 @@ def _read_base(codes, j):
 
 
 # --------------------------------------------------------------------------
+# Shared backward-phase engine (pyramid widths)
+# --------------------------------------------------------------------------
+#
+# The prev stack starts deep (~one entry per distinct interval size seen
+# during forward extension, typically 10-12) but collapses within a few
+# backward steps: intervals that shrink to the same size are deduped and
+# the smallest die. Extending all `prev_cap` lanes every step wastes HBM
+# gather rows (the dominant cost — see ops/fm.py). So the backward loop
+# runs as a pyramid: full width until every live lane's stack fits the
+# next width, then the arrays are sliced and a narrower loop continues.
+# Results are bit-identical to a single full-width loop.
+
+_BWD_TIERS = (8, 3)
+
+
+def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
+                 read_base, st, emit, prev_cap: int):
+    """Run the backward phase of getSMEMsOnePosOneThread
+    (FMI_search.cpp:1262-1339) over independent lanes.
+
+    read_base(j) -> int32[NL] base codes (4 = out of range / ambiguous);
+    st: dict(t, num_prev, pm, pn, pk, pl, ps, alive, seeds);
+    emit(seeds, mask, m, n, k, s) -> seeds. Returns the final st.
+    """
+    NL = st["num_prev"].shape[0]
+
+    def make_body(P):
+        parange = jnp.arange(P)[None, :]
+        lidx = jnp.arange(NL)
+
+        def body(st):
+            j = x - 1 - st["t"]
+            in_range = st["alive"] & (j >= 0)
+            a = read_base(j)
+            proc = in_range & (a < 4)
+
+            c = jnp.broadcast_to(a[:, None], (NL, P))
+            nk, nl, ns = fmops.backward_extend(
+                fm, st["pk"], st["pl"], st["ps"], c)
+            validp = parange < st["num_prev"][:, None]
+            survive = validp & (ns >= min_intv[:, None])
+            plen = st["pn"] - st["pm"] + 1
+            die_ok = validp & ~survive & (plen >= min_seed_len)
+
+            # the first entry that either survives or dies-with-output
+            # decides the emission for this step
+            cand = survive | die_ok
+            has_cand = jnp.any(cand, axis=1)
+            pstar = jnp.argmax(cand, axis=1)
+            pstar_die = jnp.take_along_axis(
+                die_ok, pstar[:, None], axis=1)[:, 0]
+            do_emit = proc & has_cand & pstar_die
+            em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
+            en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
+            ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
+            es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
+            seeds2 = emit(st["seeds"], do_emit, em, en, ek, es)
+
+            # keep deduped survivors (sizes are monotone along p, so
+            # "!= last kept size" == "first of each distinct size")
+            first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32),
+                                               axis=1) == 1)
+            prev_ns = jnp.concatenate(
+                [jnp.full((NL, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
+            keep = survive & (first_surv | (ns != prev_ns))
+            pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+            slot2 = jnp.where(keep & proc[:, None], pos, P)
+            scat = lambda src: jnp.zeros((NL, P), jnp.int32).at[
+                lidx[:, None], slot2].set(src, mode="drop")
+            npm = scat(jnp.broadcast_to(j[:, None], (NL, P)))
+            npn = scat(st["pn"])
+            npk = scat(nk)
+            npl = scat(nl)
+            nps = scat(ns)
+            ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+            return dict(
+                t=st["t"] + 1,
+                num_prev=jnp.where(proc, ncount, st["num_prev"]),
+                pm=jnp.where(proc[:, None], npm, st["pm"]),
+                pn=jnp.where(proc[:, None], npn, st["pn"]),
+                pk=jnp.where(proc[:, None], npk, st["pk"]),
+                pl=jnp.where(proc[:, None], npl, st["pl"]),
+                ps=jnp.where(proc[:, None], nps, st["ps"]),
+                alive=proc & (ncount > 0),
+                seeds=seeds2,
+            )
+
+        return body
+
+    widths = [prev_cap] + [w for w in _BWD_TIERS if w < prev_cap]
+    for i, P in enumerate(widths):
+        nxt = widths[i + 1] if i + 1 < len(widths) else 0
+
+        def cond(st, nxt=nxt):
+            go = jnp.any(st["alive"]) & (st["t"] < L)
+            if nxt:
+                depth = jnp.max(jnp.where(st["alive"], st["num_prev"], 0))
+                go &= depth > nxt
+            return go
+
+        st = jax.lax.while_loop(cond, make_body(P), st)
+        if nxt:
+            # every live lane's stack now fits in `nxt` entries; dead
+            # lanes only ever contribute pm/pn/pk/ps[:, 0] afterwards
+            for f in ("pm", "pn", "pk", "pl", "ps"):
+                st[f] = st[f][:, :nxt]
+    return st
+
+
+# --------------------------------------------------------------------------
 # One-anchor SMEM pass (getSMEMsOnePosOneThread parity)
 # --------------------------------------------------------------------------
 
@@ -159,72 +270,16 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
     pl = jnp.take_along_axis(pl, ridx, axis=1)
     ps = jnp.take_along_axis(ps, ridx, axis=1)
 
-    # ---- backward phase ----
+    # ---- backward phase (pyramid widths) ----
     bwd0 = dict(
         t=jnp.int32(0),
         num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
         alive=started & (num_prev > 0),
         seeds=seeds._replace(overflow=seeds.overflow | st["povf"]),
     )
-    parange = jnp.arange(P)[None, :]
-
-    def bwd_cond(st):
-        return jnp.any(st["alive"]) & (st["t"] < L)
-
-    def bwd_body(st):
-        j = x - 1 - st["t"]
-        in_range = st["alive"] & (j >= 0)
-        a = _read_base(codes, j)
-        amb = a >= 4
-        proc = in_range & ~amb
-
-        c = jnp.broadcast_to(a[:, None], (B, P))
-        nk, nl, ns = fmops.backward_extend(fm, st["pk"], st["pl"], st["ps"], c)
-        validp = parange < st["num_prev"][:, None]
-        survive = validp & (ns >= min_intv[:, None])
-        plen = st["pn"] - st["pm"] + 1
-        die_ok = validp & ~survive & (plen >= min_seed_len)
-
-        # the first entry that either survives or dies-with-output decides
-        cand = survive | die_ok
-        has_cand = jnp.any(cand, axis=1)
-        pstar = jnp.argmax(cand, axis=1)
-        pstar_die = jnp.take_along_axis(die_ok, pstar[:, None], axis=1)[:, 0]
-        emit = proc & has_cand & pstar_die
-        em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
-        en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
-        ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
-        es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
-        seeds2 = _append_seed(st["seeds"], emit, em, en, ek, es)
-
-        # keep deduped survivors (interval sizes are monotone along p,
-        # so "!= last kept size" == "first of each distinct size")
-        first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32), axis=1) == 1)
-        prev_ns = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
-        keep = survive & (first_surv | (ns != prev_ns))
-        pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-        slot2 = jnp.where(keep & proc[:, None], pos, P)
-        npm = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(
-            jnp.broadcast_to(j[:, None], (B, P)), mode="drop")
-        npn = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(st["pn"], mode="drop")
-        npk = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(nk, mode="drop")
-        npl = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(nl, mode="drop")
-        nps = jnp.zeros((B, P), jnp.int32).at[bidx[:, None], slot2].set(ns, mode="drop")
-        ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
-
-        return dict(
-            t=st["t"] + 1,
-            num_prev=jnp.where(proc, ncount, st["num_prev"]),
-            pm=jnp.where(proc[:, None], npm, st["pm"]),
-            pn=jnp.where(proc[:, None], npn, st["pn"]),
-            pk=jnp.where(proc[:, None], npk, st["pk"]),
-            pl=jnp.where(proc[:, None], npl, st["pl"]),
-            ps=jnp.where(proc[:, None], nps, st["ps"]),
-            alive=proc & (ncount > 0),
-            seeds=seeds2,
-        )
-
-    st = jax.lax.while_loop(bwd_cond, bwd_body, bwd0)
+    st = _bwd_pyramid(fm, L, x, min_intv, min_seed_len,
+                      lambda j: _read_base(codes, j), bwd0,
+                      _append_seed, P)
 
     # final emission: surviving prev[0] (FMI_search.cpp:1330-1339)
     final = started & (st["num_prev"] > 0)
@@ -429,67 +484,9 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
         alive=started & (num_prev > 0),
         seeds=out0,
     )
-    parange = jnp.arange(P)[None, :]
-
-    def bwd_cond(st):
-        return jnp.any(st["alive"]) & (st["t"] < L)
-
-    def bwd_body(st):
-        j = x - 1 - st["t"]
-        in_range = st["alive"] & (j >= 0)
-        a = _read_base_at(codes, ridx, j)
-        proc = in_range & (a < 4)
-
-        c = jnp.broadcast_to(a[:, None], (NL, P))
-        nk, nl, ns = fmops.backward_extend(fm, st["pk"], st["pl"], st["ps"], c)
-        validp = parange < st["num_prev"][:, None]
-        survive = validp & (ns >= min_intv[:, None])
-        plen = st["pn"] - st["pm"] + 1
-        die_ok = validp & ~survive & (plen >= min_seed_len)
-
-        cand = survive | die_ok
-        has_cand = jnp.any(cand, axis=1)
-        pstar = jnp.argmax(cand, axis=1)
-        pstar_die = jnp.take_along_axis(die_ok, pstar[:, None], axis=1)[:, 0]
-        do_emit = proc & has_cand & pstar_die
-        em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
-        en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
-        ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
-        es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
-        seeds2 = emit(st["seeds"], do_emit, em, en, ek, es)
-
-        first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32),
-                                           axis=1) == 1)
-        prev_ns = jnp.concatenate(
-            [jnp.full((NL, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
-        keep = survive & (first_surv | (ns != prev_ns))
-        pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-        slot2 = jnp.where(keep & proc[:, None], pos, P)
-        npm = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
-            jnp.broadcast_to(j[:, None], (NL, P)), mode="drop")
-        npn = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
-            st["pn"], mode="drop")
-        npk = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
-            nk, mode="drop")
-        npl = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
-            nl, mode="drop")
-        nps = jnp.zeros((NL, P), jnp.int32).at[lidx[:, None], slot2].set(
-            ns, mode="drop")
-        ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
-
-        return dict(
-            t=st["t"] + 1,
-            num_prev=jnp.where(proc, ncount, st["num_prev"]),
-            pm=jnp.where(proc[:, None], npm, st["pm"]),
-            pn=jnp.where(proc[:, None], npn, st["pn"]),
-            pk=jnp.where(proc[:, None], npk, st["pk"]),
-            pl=jnp.where(proc[:, None], npl, st["pl"]),
-            ps=jnp.where(proc[:, None], nps, st["ps"]),
-            alive=proc & (ncount > 0),
-            seeds=seeds2,
-        )
-
-    st = jax.lax.while_loop(bwd_cond, bwd_body, bwd0)
+    st = _bwd_pyramid(fm, L, x, min_intv, min_seed_len,
+                      lambda j: _read_base_at(codes, ridx, j), bwd0,
+                      emit, P)
 
     final = started & (st["num_prev"] > 0)
     fl = st["pn"][:, 0] - st["pm"][:, 0] + 1

@@ -1,5 +1,11 @@
 """sormadup equivalent: SAM lines -> coordinate-sorted BAM + BAI with
 duplicate flags (sortmardup/main.cpp pipeline, device sort + dup engine).
+
+Fast path: the native C parser extracts the numeric duplicate-key fields
+and assigns pairIDs (io/native.py -> native/fgdp_native.cc), duplicate
+marking + the coordinate sort run on device, and the native encoder
+emits raw BAM records in sorted order — the Python layer only glues
+arrays. A pure-Python fallback covers environments without a toolchain.
 """
 
 from __future__ import annotations
@@ -9,6 +15,7 @@ import jax.numpy as jnp
 
 from ..io import bam as bamio
 from ..io import bgzf
+from ..io import native
 from ..io.sam import FDUP, FREVERSE, SamHeader, SamRecords, cigar_ref_len, \
     parse_sam_records
 from . import engine
@@ -19,91 +26,100 @@ def _split_np(x):
     return (x >> 30).astype(np.int32), (x & ((1 << 30) - 1)).astype(np.int32)
 
 
-def find_duplicates(records: SamRecords, ref_len: int) -> set:
-    """Device duplicate detection; returns set of duplicate pair_ids."""
-    by_pid = {}
-    for i in range(len(records)):
-        pid = int(records.pair_id[i])
-        if pid:
-            by_pid.setdefault(pid, []).append(i)
-    sgl, dbl = [], []
-    for pid, idxs in by_pid.items():
-        (sgl if len(idxs) == 1 else dbl).append((pid, idxs))
+def _pow2(n):   # pad to a power of two to bound jit recompiles
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
 
-    def pow2(n):   # pad to a power of two to bound jit recompiles
-        p = 1
-        while p < n:
-            p <<= 1
-        return p
 
-    ND, NS = pow2(max(len(dbl), 1)), pow2(max(len(sgl), 1))
-    d = dict(p5a=np.zeros(ND, np.int64), orient=np.zeros(ND, np.int32),
-             p5b=np.zeros(ND, np.int64), score=np.zeros(ND, np.int32),
-             tile=np.zeros(ND, np.int32), x=np.zeros(ND, np.int32),
-             y=np.zeros(ND, np.int32), pid=np.zeros(ND, np.int64),
-             valid=np.zeros(ND, bool))
-    for k, (pid, (i1, i2)) in enumerate(dbl):
-        p1, p2 = int(records.prime5[i1]), int(records.prime5[i2])
-        r1 = bool(records.flag[i1] & FREVERSE)
-        r2 = bool(records.flag[i2] & FREVERSE)
-        if p1 > p2:
-            p1, p2, r1, r2 = p2, p1, r2, r1
-        orient = (2 if r1 else 0) + (1 if r2 else 0)
-        if p1 == p2 and orient == 2:
-            orient = 1
-        d["p5a"][k], d["orient"][k], d["p5b"][k] = p1, orient, p2
-        d["score"][k] = int(records.score[i1]) + int(records.score[i2])
-        d["tile"][k] = records.tile[i1]
-        d["x"][k] = records.tx[i1]
-        d["y"][k] = records.ty[i1]
-        d["pid"][k] = pid
-        d["valid"][k] = True
-    s = dict(p5=np.zeros(NS, np.int64), rev=np.zeros(NS, np.int32),
-             score=np.zeros(NS, np.int32), tile=np.zeros(NS, np.int32),
-             x=np.zeros(NS, np.int32), y=np.zeros(NS, np.int32),
-             pid=np.zeros(NS, np.int64), valid=np.zeros(NS, bool))
-    for k, (pid, (i1,)) in enumerate(sgl):
-        s["p5"][k] = int(records.prime5[i1])
-        s["rev"][k] = 3 if (records.flag[i1] & FREVERSE) else 0
-        s["score"][k] = records.score[i1]
-        s["tile"][k] = records.tile[i1]
-        s["x"][k] = records.tx[i1]
-        s["y"][k] = records.ty[i1]
-        s["pid"][k] = pid
-        s["valid"][k] = True
+def _dup_pids(prime5, flag, score, tile, tx, ty, pair_id, ref_len):
+    """Device duplicate detection over numeric record arrays; returns the
+    np.int64 array of duplicate pair_ids (main.cpp:249-341 semantics)."""
+    vidx = np.nonzero(np.asarray(pair_id) > 0)[0]
+    if len(vidx) == 0:
+        return np.zeros(0, np.int64)
+    pid = np.asarray(pair_id)[vidx]
+    ids, inv, cnt = np.unique(pid, return_inverse=True, return_counts=True)
+    order = np.argsort(inv, kind="stable")
+    starts = np.zeros(len(ids), np.int64)
+    starts[1:] = np.cumsum(cnt)[:-1]
+    dbl = cnt >= 2
+    sgl = cnt == 1
+    d_i1 = vidx[order[starts[dbl]]]
+    d_i2 = vidx[order[starts[dbl] + 1]]
+    s_i = vidx[order[starts[sgl]]]
 
-    da_hi, da_lo = _split_np(d["p5a"])
-    db_hi, db_lo = _split_np(d["p5b"])
-    sp_hi, sp_lo = _split_np(s["p5"])
+    ND, NS = _pow2(max(len(d_i1), 1)), _pow2(max(len(s_i), 1))
+    p1 = prime5[d_i1]
+    p2 = prime5[d_i2]
+    r1 = (flag[d_i1] & FREVERSE) != 0
+    r2 = (flag[d_i2] & FREVERSE) != 0
+    swap = p1 > p2
+    p1s = np.where(swap, p2, p1)
+    p2s = np.where(swap, p1, p2)
+    r1s = np.where(swap, r2, r1)
+    r2s = np.where(swap, r1, r2)
+    orient = 2 * r1s.astype(np.int32) + r2s.astype(np.int32)
+    orient = np.where((p1s == p2s) & (orient == 2), 1, orient)
+
+    def pad(a, N, dt):
+        out = np.zeros(N, dt)
+        out[:len(a)] = a
+        return out
+
+    d_p5a = pad(p1s, ND, np.int64)
+    d_orient = pad(orient, ND, np.int32)
+    d_p5b = pad(p2s, ND, np.int64)
+    d_score = pad(score[d_i1].astype(np.int64) + score[d_i2], ND, np.int32)
+    d_tile = pad(tile[d_i1], ND, np.int32)
+    d_x = pad(tx[d_i1], ND, np.int32)
+    d_y = pad(ty[d_i1], ND, np.int32)
+    d_valid = np.zeros(ND, bool)
+    d_valid[:len(d_i1)] = True
+
+    s_p5 = pad(prime5[s_i], NS, np.int64)
+    s_rev = pad(np.where((flag[s_i] & FREVERSE) != 0, 3, 0), NS, np.int32)
+    s_score = pad(score[s_i], NS, np.int32)
+    s_tile = pad(tile[s_i], NS, np.int32)
+    s_x = pad(tx[s_i], NS, np.int32)
+    s_y = pad(ty[s_i], NS, np.int32)
+    s_valid = np.zeros(NS, bool)
+    s_valid[:len(s_i)] = True
+
+    da_hi, da_lo = _split_np(d_p5a)
+    db_hi, db_lo = _split_np(d_p5b)
+    sp_hi, sp_lo = _split_np(s_p5)
     rl_hi, rl_lo = _split_np(np.int64(ref_len))
     dup_dbl, dup_sgl = engine.mark_duplicates(
-        jnp.asarray(da_hi), jnp.asarray(da_lo), jnp.asarray(d["orient"]),
-        jnp.asarray(db_hi), jnp.asarray(db_lo), jnp.asarray(d["score"]),
-        jnp.asarray(d["tile"]), jnp.asarray(d["x"]), jnp.asarray(d["y"]),
-        jnp.asarray(d["valid"]),
-        jnp.asarray(sp_hi), jnp.asarray(sp_lo), jnp.asarray(s["rev"]),
-        jnp.asarray(s["score"]), jnp.asarray(s["tile"]), jnp.asarray(s["x"]),
-        jnp.asarray(s["y"]), jnp.asarray(s["valid"]),
+        jnp.asarray(da_hi), jnp.asarray(da_lo), jnp.asarray(d_orient),
+        jnp.asarray(db_hi), jnp.asarray(db_lo), jnp.asarray(d_score),
+        jnp.asarray(d_tile), jnp.asarray(d_x), jnp.asarray(d_y),
+        jnp.asarray(d_valid),
+        jnp.asarray(sp_hi), jnp.asarray(sp_lo), jnp.asarray(s_rev),
+        jnp.asarray(s_score), jnp.asarray(s_tile), jnp.asarray(s_x),
+        jnp.asarray(s_y), jnp.asarray(s_valid),
         jnp.int32(int(rl_hi)), jnp.int32(int(rl_lo)))
-    dup_dbl = np.asarray(dup_dbl)
-    dup_sgl = np.asarray(dup_sgl)
-    dups = set()
-    for k in range(len(dbl)):
-        if dup_dbl[k]:
-            dups.add(int(d["pid"][k]))
-    for k in range(len(sgl)):
-        if dup_sgl[k]:
-            dups.add(int(s["pid"][k]))
-    return dups
+    dup_dbl = np.asarray(dup_dbl)[:len(d_i1)]
+    dup_sgl = np.asarray(dup_sgl)[:len(s_i)]
+    return np.concatenate([
+        np.asarray(pair_id)[d_i1[dup_dbl]],
+        np.asarray(pair_id)[s_i[dup_sgl]]]).astype(np.int64)
 
 
-def sort_order(records: SamRecords) -> np.ndarray:
-    n = len(records)
-    np2 = 1
-    while np2 < n:
-        np2 <<= 1
+def find_duplicates(records: SamRecords, ref_len: int) -> set:
+    """Device duplicate detection; returns set of duplicate pair_ids."""
+    return set(_dup_pids(records.prime5, np.asarray(records.flag),
+                         np.asarray(records.score), np.asarray(records.tile),
+                         np.asarray(records.tx), np.asarray(records.ty),
+                         records.pair_id, ref_len).tolist())
+
+
+def _sort_order_np(ucoord: np.ndarray) -> np.ndarray:
+    n = len(ucoord)
+    np2 = _pow2(max(n, 1))
     uc = np.zeros(np2, np.int64)
-    uc[:n] = records.ucoord
+    uc[:n] = ucoord
     uc_hi, uc_lo = _split_np(uc)
     valid = np.zeros(np2, bool)
     valid[:n] = True
@@ -112,24 +128,103 @@ def sort_order(records: SamRecords) -> np.ndarray:
     return order[:n]
 
 
+def sort_order(records: SamRecords) -> np.ndarray:
+    return _sort_order_np(np.asarray(records.ucoord))
+
+
+def _sorted_header_bytes(header: SamHeader):
+    htext = header.text.replace("SO:unsorted", "SO:coordinate")
+    if "SO:coordinate" not in htext:
+        htext = "@HD\tVN:1.6\tSO:coordinate\n" + htext
+    return bamio.bam_header_bytes(htext, header.names, header.lens)
+
+
+def _write_bam(payload: bytes, offsets, out_bam_path, n_ref: int,
+               compress_level: int):
+    """BGZF-compress payload and build the BAI from (rid, pos, end,
+    ustart, uend) record offsets."""
+    comp, table = bgzf.compress_stream(payload, compress_level)
+    with open(out_bam_path, "wb") as fo:
+        fo.write(comp)
+        fo.write(bgzf.EOF_BLOCK)
+    vmap = bgzf.VirtualOffsetMap(table)
+    bai = bamio.BaiBuilder(n_ref)
+    for rid, pos, end, ustart, uend in offsets:
+        bai.add(rid, pos, end, vmap.voffset(ustart), vmap.voffset(uend))
+    with open(str(out_bam_path) + ".bai", "wb") as fo:
+        fo.write(bai.tobytes())
+
+
+def _sort_markdup_native(data: bytes, header: SamHeader, out_bam_path,
+                         compress_level: int):
+    """Native fast path; returns (n_records, n_dups) or None if the
+    native library is unavailable."""
+    max_recs = data.count(b"\n") + 1
+    parsed = native.parse_sam_numeric(data, max_recs)
+    if parsed is None:
+        return None
+    rp = native.assign_rid_pairid(data, parsed, header.names)
+    if rp is None:
+        return None
+    rid, pair_id = rp
+    n = len(rid)
+
+    kt = header.ktable()
+    ref_len = int(kt[-1])
+    pos0 = parsed["pos"] - 1
+    ucoord = np.where(rid >= 0, kt[np.maximum(rid, 0)] + pos0, ref_len)
+    rev = (parsed["flag"] & FREVERSE) != 0
+    has_cig = parsed["ref_len"] > 0
+    prime5 = np.where(
+        rev & has_cig,
+        ucoord + parsed["ref_len"] + parsed["tail_clip"] - 1,
+        ucoord - np.where(~rev, parsed["lead_clip"], 0))
+
+    dup_pids = _dup_pids(prime5, parsed["flag"], parsed["score"],
+                         parsed["tile"], parsed["tx"], parsed["ty"],
+                         pair_id, ref_len) if n else np.zeros(0, np.int64)
+    is_dup = np.isin(pair_id, dup_pids) if n else np.zeros(0, bool)
+    order = _sort_order_np(ucoord) if n else np.zeros(0, np.int64)
+
+    flags_out = np.where(is_dup, parsed["flag"] | FDUP,
+                         parsed["flag"]).astype(np.int32)
+    enc = native.encode_bam_records(
+        data, parsed["line_start"][order], parsed["line_end"][order],
+        flags_out[order], header.names)
+    if enc is None:
+        return None
+    recs, rec_off, erid, epos, erlen = enc
+    hdr = _sorted_header_bytes(header)
+    payload = hdr + recs
+    base = len(hdr)
+    offsets = [(int(erid[i]), int(epos[i]), int(epos[i]) + int(erlen[i]),
+                base + int(rec_off[i]), base + int(rec_off[i + 1]))
+               for i in range(len(erid))]
+    _write_bam(payload, offsets, out_bam_path, len(header.names),
+               compress_level)
+    return n, len(dup_pids)
+
+
 def sort_markdup(sam_lines, out_bam_path, compress_level: int = 6):
     """Full sormadup: SAM text lines -> sorted BAM + .bai on disk.
     Returns (n_records, n_dup_pairs)."""
     header_lines = [ln for ln in sam_lines if ln.startswith("@")]
-    body = [ln for ln in sam_lines if ln and not ln.startswith("@")]
     header = SamHeader.parse(header_lines)
+
+    data = "\n".join(ln.rstrip("\n") for ln in sam_lines).encode() + b"\n"
+    res = _sort_markdup_native(data, header, out_bam_path, compress_level)
+    if res is not None:
+        return res
+
+    # ---- pure-Python fallback ----
+    body = [ln for ln in sam_lines if ln and not ln.startswith("@")]
     records = parse_sam_records(body, header)
     ref_len = int(header.ktable()[-1])
 
     dups = find_duplicates(records, ref_len) if len(records) else set()
     order = sort_order(records) if len(records) else np.zeros(0, np.int64)
 
-    # sorted header
-    htext = header.text.replace("SO:unsorted", "SO:coordinate")
-    if "SO:coordinate" not in htext:
-        htext = "@HD\tVN:1.6\tSO:coordinate\n" + htext
-    payload = bytearray(bamio.bam_header_bytes(htext, header.names,
-                                               header.lens))
+    payload = bytearray(_sorted_header_bytes(header))
     name_to_rid = {n: i for i, n in enumerate(header.names)}
     offsets = []   # (rid, pos, end, ustart, uend)
     for i in order:
@@ -145,15 +240,6 @@ def sort_markdup(sam_lines, out_bam_path, compress_level: int = 6):
         offsets.append((int(records.rid[i]), int(records.pos[i]),
                         int(records.pos[i]) + rlen, ustart, len(payload)))
 
-    comp, table = bgzf.compress_stream(bytes(payload), compress_level)
-    with open(out_bam_path, "wb") as fo:
-        fo.write(comp)
-        fo.write(bgzf.EOF_BLOCK)
-
-    vmap = bgzf.VirtualOffsetMap(table)
-    bai = bamio.BaiBuilder(len(header.names))
-    for rid, pos, end, ustart, uend in offsets:
-        bai.add(rid, pos, end, vmap.voffset(ustart), vmap.voffset(uend))
-    with open(str(out_bam_path) + ".bai", "wb") as fo:
-        fo.write(bai.tobytes())
+    _write_bam(bytes(payload), offsets, out_bam_path, len(header.names),
+               compress_level)
     return len(records), len(dups)

@@ -90,7 +90,9 @@ long parse_sam_numeric(const char* buf, long n, long max_recs,
                        int32_t* lead_clip, int32_t* tail_clip,
                        int32_t* ref_len, int32_t* score,
                        int32_t* tile, int32_t* tx, int32_t* ty,
-                       int64_t* line_start, int64_t* line_end) {
+                       int64_t* line_start, int64_t* line_end,
+                       int64_t* qn_start, int64_t* qn_end,
+                       int64_t* rn_start, int64_t* rn_end) {
     long off = 0, r = 0;
     while (off < n && r < max_recs) {
         long ls = off;
@@ -115,6 +117,10 @@ long parse_sam_numeric(const char* buf, long n, long max_recs,
             f++;
         }
         if (field < 11) { off = le + 1; continue; }
+        qn_start[r] = fstart[0];
+        qn_end[r] = fend[0];
+        rn_start[r] = fstart[2];
+        rn_end[r] = fend[2];
         // QNAME tile/x/y: count ':' fields
         {
             long parts[16];
@@ -204,6 +210,369 @@ long parse_sam_numeric(const char* buf, long n, long max_recs,
         off = le + 1;
     }
     return r;
+}
+
+// --------------------------------------------------------------------------
+// RNAME resolution + pairID assignment (BamParser::pop_record semantics,
+// sortmardup/tbb/bam_parser.cpp:76-128): consecutive same-QNAME records
+// form a group; each popped record1 consumes an id; the first
+// non-ignorable same-group record still queued shares it.
+// --------------------------------------------------------------------------
+
+static long find_rid(const char* buf, long s, long e, const char* names,
+                     const int32_t* name_off, long n_ref, long* cache) {
+    long len = e - s;
+    long c = *cache;
+    if (c >= 0) {
+        const char* nm = names + name_off[c];
+        if ((long)strlen(nm) == len && memcmp(nm, buf + s, len) == 0)
+            return c;
+    }
+    for (long i = 0; i < n_ref; i++) {
+        const char* nm = names + name_off[i];
+        if ((long)strlen(nm) == len && memcmp(nm, buf + s, len) == 0) {
+            *cache = i;
+            return i;
+        }
+    }
+    return -1;
+}
+
+// Assign rid + pair_id for records previously scanned by
+// parse_sam_numeric. qn_start/qn_end + rn_start/rn_end are the QNAME and
+// RNAME column spans of each record (buf offsets).
+void assign_rid_pairid(const char* buf, long n_recs,
+                       const int64_t* qn_start, const int64_t* qn_end,
+                       const int64_t* rn_start, const int64_t* rn_end,
+                       const int32_t* flag, const char* names,
+                       const int32_t* name_off, long n_ref,
+                       int32_t* rid, int64_t* pair_id) {
+    long cache = -1;
+    for (long i = 0; i < n_recs; i++) {
+        if (rn_end[i] - rn_start[i] == 1 && buf[rn_start[i]] == '*')
+            rid[i] = -1;
+        else
+            rid[i] = (int32_t)find_rid(buf, rn_start[i], rn_end[i], names,
+                                       name_off, n_ref, &cache);
+    }
+    const int32_t IGN = 0x4 | 0x100 | 0x800;
+    int64_t next_id = 1;
+    long i = 0;
+    while (i < n_recs) {
+        long j = i + 1;
+        long ql = qn_end[i] - qn_start[i];
+        while (j < n_recs && qn_end[j] - qn_start[j] == ql &&
+               memcmp(buf + qn_start[j], buf + qn_start[i], ql) == 0)
+            j++;
+        // queue over [i, j)
+        char taken[64];
+        long g = j - i;
+        if (g > 64) g = 64;
+        for (long k = 0; k < g; k++) taken[k] = 0;
+        for (long k = i; k < j; k++) pair_id[k] = 0;
+        for (long k = 0; k < g; k++) {
+            if (taken[k]) continue;
+            taken[k] = 1;
+            next_id++;
+            if (flag[i + k] & IGN) continue;
+            pair_id[i + k] = next_id - 1;
+            for (long m = k + 1; m < g; m++) {
+                if (!taken[m] && !(flag[i + m] & IGN)) {
+                    pair_id[i + m] = next_id - 1;
+                    taken[m] = 1;
+                    break;
+                }
+            }
+        }
+        i = j;
+    }
+}
+
+// --------------------------------------------------------------------------
+// SAM -> raw BAM record encoding (htslib sam_format/bam_write1
+// equivalent; record layout per SAM spec 4.2). Records are emitted in
+// the caller-given order (already coordinate-sorted) with per-record
+// flag overrides, so the Python layer only concatenates + BGZF-compresses.
+// --------------------------------------------------------------------------
+
+static unsigned char NT16_LUT[256];
+static unsigned char CIGOP_LUT[256];
+static int bam_lut_ready = 0;
+
+static void init_bam_lut() {
+    if (bam_lut_ready) return;
+    const char* nt = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 256; i++) NT16_LUT[i] = 15;
+    for (int i = 0; i < 16; i++) {
+        NT16_LUT[(unsigned char)nt[i]] = i;
+        NT16_LUT[(unsigned char)(nt[i] + 32)] = i;  // lowercase
+    }
+    const char* ops = "MIDNSHP=X";
+    for (int i = 0; i < 256; i++) CIGOP_LUT[i] = 255;
+    for (int i = 0; i < 9; i++) CIGOP_LUT[(unsigned char)ops[i]] = i;
+    bam_lut_ready = 1;
+}
+
+static int32_t sam_reg2bin(int64_t beg, int64_t end) {
+    end--;
+    if (beg >> 14 == end >> 14) return (int32_t)(((1 << 15) - 1) / 7 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (int32_t)(((1 << 12) - 1) / 7 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (int32_t)(((1 << 9) - 1) / 7 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (int32_t)(((1 << 6) - 1) / 7 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (int32_t)(((1 << 3) - 1) / 7 + (beg >> 26));
+    return 0;
+}
+
+static void put_u32(char* p, uint32_t v) { memcpy(p, &v, 4); }
+static void put_i32(char* p, int32_t v) { memcpy(p, &v, 4); }
+
+// Encode records (one SAM line each, selected+ordered by line_start/
+// line_end) into out. flag_override[i] < 0 keeps the original flag.
+// Fills rec_off[n+1] (byte offsets into out), rid_out/pos_out/rlen_out
+// (for BAI building). Returns bytes written, or -1 on overflow/parse error.
+int64_t encode_bam_records(const char* buf,
+                           const int64_t* line_start, const int64_t* line_end,
+                           const int32_t* flag_override, long n_recs,
+                           const char* names, const int32_t* name_off,
+                           long n_ref,
+                           char* out, int64_t out_cap,
+                           int64_t* rec_off, int32_t* rid_out,
+                           int64_t* pos_out, int32_t* rlen_out) {
+    init_bam_lut();
+    long cache = -1, cache2 = -1;
+    int64_t w = 0;
+    for (long r = 0; r < n_recs; r++) {
+        long ls = line_start[r], le = line_end[r];
+        // split into fields
+        long fs[12], fe[12];
+        int nf = 0;
+        long f = ls;
+        fs[0] = ls;
+        while (f <= le && nf < 12) {
+            if (f == le || buf[f] == '\t') {
+                fe[nf] = f;
+                nf++;
+                if (nf < 12) fs[nf] = f + 1;
+            }
+            f++;
+        }
+        if (nf < 11) return -1;
+        long tag_start = (nf == 12) ? fs[11] : le;
+
+        // core fields
+        int64_t v = 0;
+        for (long i = fs[1]; i < fe[1]; i++) v = v * 10 + (buf[i] - '0');
+        int32_t flag = flag_override[r] >= 0 ? flag_override[r] : (int32_t)v;
+        int32_t rid = (fe[2] - fs[2] == 1 && buf[fs[2]] == '*') ? -1 :
+            (int32_t)find_rid(buf, fs[2], fe[2], names, name_off, n_ref,
+                              &cache);
+        v = 0;
+        for (long i = fs[3]; i < fe[3]; i++) v = v * 10 + (buf[i] - '0');
+        int64_t pos0 = v - 1;
+        int64_t mapq = 0;
+        for (long i = fs[4]; i < fe[4]; i++)
+            mapq = mapq * 10 + (buf[i] - '0');
+        // cigar
+        long n_cig = 0;
+        int64_t rlen = 0;
+        int star_cig = (fe[5] - fs[5] == 1 && buf[fs[5]] == '*');
+        if (!star_cig) {
+            for (long i = fs[5]; i < fe[5]; i++)
+                if (buf[i] < '0' || buf[i] > '9') n_cig++;
+        }
+        // rnext / pnext / tlen
+        int32_t nrid;
+        if (fe[6] - fs[6] == 1 && buf[fs[6]] == '=') nrid = rid;
+        else if (fe[6] - fs[6] == 1 && buf[fs[6]] == '*') nrid = -1;
+        else nrid = (int32_t)find_rid(buf, fs[6], fe[6], names, name_off,
+                                      n_ref, &cache2);
+        v = 0;
+        for (long i = fs[7]; i < fe[7]; i++) v = v * 10 + (buf[i] - '0');
+        int64_t pnext0 = v - 1;
+        int64_t tlen = 0;
+        {
+            int neg = 0;
+            for (long i = fs[8]; i < fe[8]; i++) {
+                if (buf[i] == '-') { neg = 1; continue; }
+                tlen = tlen * 10 + (buf[i] - '0');
+            }
+            if (neg) tlen = -tlen;
+        }
+        long l_seq = (fe[9] - fs[9] == 1 && buf[fs[9]] == '*') ? 0
+                     : fe[9] - fs[9];
+        long l_qname = fe[0] - fs[0];
+
+        // sizes: 32 core + qname+1 + 4*n_cig + (l_seq+1)/2 + l_seq + tags
+        int64_t body = 32 + (l_qname + 1) + 4 * n_cig + (l_seq + 1) / 2 +
+                       l_seq;
+        // tags: conservatively text length (binary is never longer than
+        // text for i/f/Z/A/B with our int32 encoding... 'i' text can be
+        // 1 char -> 7 bytes binary; use text_len + 8 per tag margin)
+        long n_tags = 0;
+        if (nf == 12) {
+            n_tags = 1;
+            for (long i = tag_start; i < le; i++)
+                if (buf[i] == '\t') n_tags++;
+        }
+        int64_t max_rec = 4 + body + (le - tag_start) + 8 * n_tags + 16;
+        if (w + max_rec > out_cap) return -1;
+
+        char* p0 = out + w;   // length prefix patched at the end
+        char* p = p0 + 4;
+        put_i32(p, rid);
+        put_i32(p + 4, (int32_t)pos0);
+        // compute rlen for bin
+        // (second cigar pass below fills ops and accumulates rlen)
+        char* pcig_hdr = p;   // we patch bin after cigar pass
+        p[8] = (char)(l_qname + 1);
+        p[9] = (char)mapq;
+        // bin patched later (offset 10, u16)
+        p[12] = (char)(n_cig & 0xff);
+        p[13] = (char)((n_cig >> 8) & 0xff);
+        p[14] = (char)(flag & 0xff);
+        p[15] = (char)((flag >> 8) & 0xff);
+        put_i32(p + 16, (int32_t)l_seq);
+        put_i32(p + 20, nrid);
+        put_i32(p + 24, (int32_t)pnext0);
+        put_i32(p + 28, (int32_t)tlen);
+        p += 32;
+        memcpy(p, buf + fs[0], l_qname);
+        p[l_qname] = 0;
+        p += l_qname + 1;
+        if (!star_cig) {
+            uint32_t num = 0;
+            for (long i = fs[5]; i < fe[5]; i++) {
+                char c = buf[i];
+                if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
+                unsigned char op = CIGOP_LUT[(unsigned char)c];
+                if (op == 255) return -1;
+                put_u32(p, (num << 4) | op);
+                p += 4;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    rlen += num;
+                num = 0;
+            }
+        }
+        int32_t bin = rid >= 0 ? sam_reg2bin(pos0, pos0 + (rlen > 0 ? rlen : 1))
+                               : 4680;
+        pcig_hdr[10] = (char)(bin & 0xff);
+        pcig_hdr[11] = (char)((bin >> 8) & 0xff);
+        if (l_seq) {
+            const char* s = buf + fs[9];
+            for (long i = 0; i + 1 < l_seq; i += 2)
+                *p++ = (char)((NT16_LUT[(unsigned char)s[i]] << 4) |
+                              NT16_LUT[(unsigned char)s[i + 1]]);
+            if (l_seq & 1)
+                *p++ = (char)(NT16_LUT[(unsigned char)s[l_seq - 1]] << 4);
+            if (fe[10] - fs[10] == 1 && buf[fs[10]] == '*') {
+                memset(p, 0xff, l_seq);
+                p += l_seq;
+            } else {
+                const char* q = buf + fs[10];
+                for (long i = 0; i < l_seq; i++) {
+                    int qv = (unsigned char)q[i] - 33;
+                    *p++ = (char)(qv < 0 ? 0 : (qv > 93 ? 93 : qv));
+                }
+            }
+        }
+        // tags
+        if (nf == 12) {
+            long i = tag_start;
+            while (i < le) {
+                long te = i;
+                while (te < le && buf[te] != '\t') te++;
+                // NAME:T:VALUE
+                if (te - i >= 5 && buf[i + 2] == ':' && buf[i + 4] == ':') {
+                    char typ = buf[i + 3];
+                    *p++ = buf[i];
+                    *p++ = buf[i + 1];
+                    long vs = i + 5;
+                    if (typ == 'i') {
+                        int64_t tv = 0;
+                        int neg = 0;
+                        for (long k = vs; k < te; k++) {
+                            if (buf[k] == '-') { neg = 1; continue; }
+                            tv = tv * 10 + (buf[k] - '0');
+                        }
+                        if (neg) tv = -tv;
+                        *p++ = 'i';
+                        put_i32(p, (int32_t)tv);
+                        p += 4;
+                    } else if (typ == 'A') {
+                        *p++ = 'A';
+                        *p++ = buf[vs];
+                    } else if (typ == 'f') {
+                        // parse float: integral.frac[eE exp]
+                        double dv = 0, frac = 0.1;
+                        int neg = 0, in_frac = 0, esign = 1, ev = 0,
+                            in_exp = 0;
+                        for (long k = vs; k < te; k++) {
+                            char c = buf[k];
+                            if (c == '-') { if (in_exp) esign = -1; else neg = 1; }
+                            else if (c == '+') {}
+                            else if (c == '.') in_frac = 1;
+                            else if (c == 'e' || c == 'E') { in_exp = 1; in_frac = 0; }
+                            else if (in_exp) ev = ev * 10 + (c - '0');
+                            else if (in_frac) { dv += (c - '0') * frac; frac *= 0.1; }
+                            else dv = dv * 10 + (c - '0');
+                        }
+                        if (neg) dv = -dv;
+                        while (ev-- > 0) dv = esign > 0 ? dv * 10 : dv / 10;
+                        float fv = (float)dv;
+                        *p++ = 'f';
+                        memcpy(p, &fv, 4);
+                        p += 4;
+                    } else {  // Z, H, and B fall back to Z text copy for
+                              // H; B re-encoded below
+                        if (typ == 'B' && te > vs) {
+                            char sub = buf[vs];
+                            *p++ = 'B';
+                            *p++ = sub;
+                            long cnt = 0;
+                            for (long k = vs + 1; k < te; k++)
+                                if (buf[k] == ',') cnt++;
+                            put_u32(p, (uint32_t)cnt);
+                            p += 4;
+                            long k = vs + 1;
+                            while (k < te) {
+                                k++;  // skip comma
+                                int64_t tv = 0;
+                                int neg = 0;
+                                while (k < te && buf[k] != ',') {
+                                    if (buf[k] == '-') neg = 1;
+                                    else tv = tv * 10 + (buf[k] - '0');
+                                    k++;
+                                }
+                                if (neg) tv = -tv;
+                                switch (sub) {
+                                    case 'c': case 'C': *p++ = (char)tv; break;
+                                    case 's': case 'S':
+                                        memcpy(p, &tv, 2); p += 2; break;
+                                    default:
+                                        put_i32(p, (int32_t)tv); p += 4;
+                                }
+                            }
+                        } else {
+                            *p++ = typ == 'H' ? 'H' : 'Z';
+                            memcpy(p, buf + vs, te - vs);
+                            p += te - vs;
+                            *p++ = 0;
+                        }
+                    }
+                }
+                i = te + 1;
+            }
+        }
+        int64_t rec_len = p - (p0 + 4);
+        put_u32(p0, (uint32_t)rec_len);
+        rec_off[r] = w;
+        rid_out[r] = rid;
+        pos_out[r] = pos0;
+        rlen_out[r] = (int32_t)(rlen > 0 ? rlen : 1);
+        w += 4 + rec_len;
+    }
+    rec_off[n_recs] = w;
+    return w;
 }
 
 }  // extern "C"

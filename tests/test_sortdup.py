@@ -100,3 +100,26 @@ def test_bgzf_roundtrip(rng):
     comp, table = bgzf.compress_stream(data)
     assert bgzf.decompress(comp) == data
     assert len(table) == -(-len(data) // bgzf.MAX_BLOCK)
+
+
+def test_native_python_bam_identical(rng, tmp_path):
+    """The native C fast path and the pure-Python fallback must produce
+    byte-identical BAM + BAI (same records, flags, tags, index)."""
+    from fgdp_tpu.io import native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    lines = HEADER + _random_sam(rng, n_pairs=40, n_singles=15)
+    b1 = tmp_path / "native.bam"
+    b2 = tmp_path / "python.bam"
+    n1 = driver.sort_markdup(lines, b1)
+    orig = native.parse_sam_numeric
+    native.parse_sam_numeric = lambda *a, **k: None
+    try:
+        n2 = driver.sort_markdup(lines, b2)
+    finally:
+        native.parse_sam_numeric = orig
+    assert n1 == n2
+    assert n1[1] > 0          # duplicates present
+    assert b1.read_bytes() == b2.read_bytes()
+    assert (tmp_path / "native.bam.bai").read_bytes() == \
+        (tmp_path / "python.bam.bai").read_bytes()
