@@ -40,6 +40,21 @@ class VariantCall:
     ad_alt: int
     af: float
     filters: tuple
+    # FilterMutectCalls annotations (GATK INFO/FORMAT equivalents)
+    sb: tuple = (0, 0, 0, 0)      # fwd_ref, rev_ref, fwd_alt, rev_alt
+    mbq_ref: int = 30
+    mbq_alt: int = 30
+    mmq_alt: int = 60
+    mpos: int = 25
+    mfrl_diff: float = 0.0
+    ecnt: int = 1
+    site_alt_lods: tuple = ()
+    pop_af: float = 1e-6
+    n_artifact_lod: float | None = None
+    normal_ad_ref: int = 0
+    normal_ad_alt: int = 0
+    repeat_unit_length: int = 0
+    repeat_count: int = 0
 
 
 def _reads_for_span(reads, start, end):
@@ -100,6 +115,87 @@ def _pairhmm_matrix(reads, haps):
     return liks.reshape(H, R)
 
 
+def _read_offset_at(rd, pos):
+    """Read-coordinate of reference position pos, or None if deleted/
+    outside (cigar walk)."""
+    rp = rd["pos"]
+    qp = 0
+    for op, ln in rd["cigar"]:
+        if op in (0, 7, 8):       # M/=/X
+            if rp <= pos < rp + ln:
+                return qp + (pos - rp)
+            rp += ln
+            qp += ln
+        elif op == 1 or op == 4:  # I/S
+            qp += ln
+        elif op in (2, 3):        # D/N
+            if rp <= pos < rp + ln:
+                return None
+            rp += ln
+    return None
+
+
+def _median(xs, default):
+    return int(np.median(xs)) if len(xs) else default
+
+
+def _str_context(ref, pos, max_unit=3):
+    """(unit_length, repeat_count) of the STR at ref[pos] (slippage
+    filter context, PolymeraseSlippageFilter.cpp RPA/RU semantics)."""
+    n = len(ref)
+    best = (0, 0)
+    for u in range(1, max_unit + 1):
+        if pos + u > n:
+            break
+        unit = ref[pos:pos + u]
+        count = 1
+        j = pos + u
+        while j + u <= n and np.array_equal(ref[j:j + u], unit):
+            count += 1
+            j += u
+        j = pos - u
+        while j >= 0 and np.array_equal(ref[j:j + u], unit):
+            count += 1
+            j -= u
+        if count > best[1]:
+            best = (u, count)
+    return best
+
+
+def _allele_annotations(reads, assign, informative, pos):
+    """Per-allele medians + strand counts from the read assignment."""
+    alt_i = [i for i in range(len(reads)) if assign[i] and informative[i]]
+    ref_i = [i for i in range(len(reads)) if not assign[i] and informative[i]]
+
+    def bq(i):
+        off = _read_offset_at(reads[i], pos)
+        return int(reads[i]["quals"][off]) if off is not None else None
+
+    def rpos(i):
+        off = _read_offset_at(reads[i], pos)
+        if off is None:
+            return None
+        return min(off, len(reads[i]["seq_codes"]) - 1 - off)
+
+    mbq_alt = _median([q for q in (bq(i) for i in alt_i) if q is not None],
+                      30)
+    mbq_ref = _median([q for q in (bq(i) for i in ref_i) if q is not None],
+                      30)
+    mmq_alt = _median([reads[i].get("mapq", 60) for i in alt_i], 60)
+    mpos = _median([p for p in (rpos(i) for i in alt_i) if p is not None],
+                   25)
+    frl_alt = _median([abs(reads[i].get("frag_len", 0)) for i in alt_i
+                       if reads[i].get("frag_len")], 0)
+    frl_ref = _median([abs(reads[i].get("frag_len", 0)) for i in ref_i
+                       if reads[i].get("frag_len")], 0)
+    sb = (sum(1 for i in ref_i if not reads[i].get("is_reverse", False)),
+          sum(1 for i in ref_i if reads[i].get("is_reverse", False)),
+          sum(1 for i in alt_i if not reads[i].get("is_reverse", False)),
+          sum(1 for i in alt_i if reads[i].get("is_reverse", False)))
+    return dict(mbq_ref=mbq_ref, mbq_alt=mbq_alt, mmq_alt=mmq_alt,
+                mpos=mpos, mfrl_diff=float(abs(frl_alt - frl_ref)), sb=sb)
+
+
 class Mutect2Engine:
     def __init__(self, ref_codes, contig_name, cfg: CallConfig | None = None,
                  emission_log10_odds=DEFAULT_EMISSION_LOG10_ODDS,
@@ -115,11 +211,17 @@ class Mutect2Engine:
             from .cnn_filter import CnnFilter
             self.cnn = CnnFilter(cnn_model_path)
 
+    CALLABLE_DEPTH = 10   # M2ArgumentCollection callableDepth default
+
     def call(self, tumor_reads, normal_reads=()):
         """tumor_reads/normal_reads: list of dicts (pos, cigar, seq_codes,
-        quals, mate_start, properly_paired). Returns list[VariantCall]."""
+        quals, mate_start, properly_paired). Returns list[VariantCall].
+        Also accumulates self.callable_sites (tumor depth >= 10), the
+        count FilterMutectCalls' clustering model uses to learn empirical
+        variant priors (SomaticClusteringModel.cpp:241-247)."""
         cfg = self.cfg
         n = len(self.ref)
+        self.callable_sites = 0
         calls = []
         for rstart in range(0, n, cfg.region_size):
             rend = min(rstart + cfg.region_size, n)
@@ -129,6 +231,7 @@ class Mutect2Engine:
             n_reads = _reads_for_span(normal_reads, rstart, rend)
             tp = activity.build_pileup(t_reads, rstart, rend, self.ref, 0,
                                        cfg.pcr_error_qual)
+            self.callable_sites += int((tp.depth >= self.CALLABLE_DEPTH).sum())
             np_ = activity.build_pileup(n_reads, rstart, rend, self.ref, 0,
                                         cfg.pcr_error_qual) \
                 if n_reads else None
@@ -183,6 +286,7 @@ class Mutect2Engine:
         n_lik = _pairhmm_matrix(n_reads, hap_bases) if n_reads else None
 
         calls = []
+        site_lods = {}
         for (pos, ref_a, alt_a), ev in sorted(all_events.items()):
             has_alt = np.array([any(e.pos == pos and e.ref == ref_a and
                                     e.alt == alt_a for e in evs)
@@ -195,11 +299,19 @@ class Mutect2Engine:
                 continue
             filters = []
             nlod = None
+            n_art_lod = None
+            n_ad_ref = n_ad_alt = 0
             if n_lik is not None and n_lik.shape[1] > 0:
                 nm = genotype.marginalize_to_alleles(n_lik, has_alt, spans)
                 # normal odds AGAINST the variant (diploid ref evidence)
                 nlod_ln = -genotype.somatic_log_odds(nm)[0]
                 nlod = nlod_ln / LOG10
+                # evidence FOR the allele in the normal = artifact lod
+                n_art_lod = float(genotype.somatic_log_odds(nm)[0]) / LOG10
+                n_assign = nm[1] > nm[0]
+                n_inf = np.abs(nm[1] - nm[0]) > 0.1
+                n_ad_alt = int((n_assign & n_inf).sum())
+                n_ad_ref = int((~n_assign & n_inf).sum())
                 if nlod < self.normal_odds:
                     filters.append("germline")
             # allelic depths by best-likelihood read assignment
@@ -209,12 +321,46 @@ class Mutect2Engine:
             ad_ref = int((~assign & informative).sum())
             depth = tm.shape[1]
             af = ad_alt / max(ad_ref + ad_alt, 1)
+            ann = _allele_annotations(t_reads, assign, informative, pos)
+            indel_len = len(alt_a) - len(ref_a)
+            unit_len, rep_count = _str_context(
+                self.ref, pos + 1) if indel_len != 0 else (0, 0)
+            site_lods.setdefault(pos, []).append(float(tlod))
             calls.append(VariantCall(
                 contig=self.contig, pos=pos, ref=ref_a, alt=alt_a,
                 tlod=float(tlod), nlod=nlod, depth=depth,
                 ad_ref=ad_ref, ad_alt=ad_alt, af=af,
-                filters=tuple(filters)))
+                filters=tuple(filters),
+                ecnt=len(all_events),
+                n_artifact_lod=n_art_lod,
+                normal_ad_ref=n_ad_ref, normal_ad_alt=n_ad_alt,
+                repeat_unit_length=unit_len, repeat_count=rep_count,
+                **ann))
+        for c in calls:
+            c.site_alt_lods = tuple(site_lods.get(c.pos, ()))
         return calls
+
+
+def apply_filter_mutect_calls(calls, **overrides):
+    """FilterMutectCalls over engine output: 2 learning passes + apply
+    (reference main.cpp:643-662). Mutates call.filters; returns the
+    filtering engine (for stats)."""
+    from . import filtering as fl
+
+    fcs = [fl.FilterableCall(
+        tlod=c.tlod, ad_ref=c.ad_ref, ad_alt=c.ad_alt,
+        indel_length=len(c.alt) - len(c.ref), af=c.af, sb=c.sb,
+        mbq_ref=c.mbq_ref, mbq_alt=c.mbq_alt, mmq_alt=c.mmq_alt,
+        mpos=c.mpos, mfrl_diff=c.mfrl_diff, ecnt=c.ecnt,
+        site_alt_lods=c.site_alt_lods, pop_af=c.pop_af, nlod=c.nlod,
+        n_artifact_lod=c.n_artifact_lod, normal_ad_ref=c.normal_ad_ref,
+        normal_ad_alt=c.normal_ad_alt,
+        repeat_unit_length=c.repeat_unit_length,
+        repeat_count=c.repeat_count) for c in calls]
+    eng = fl.filter_calls(fcs, **overrides)
+    for c, fc in zip(calls, fcs):
+        c.filters = tuple(fc.filters)
+    return eng
 
 
 def write_vcf(path, calls, contig_names, contig_lens,
@@ -223,11 +369,17 @@ def write_vcf(path, calls, contig_names, contig_lens,
     samples = [tumor_sample] + ([normal_sample] if normal_sample else [])
     w = VcfWriter(path, contig_names, contig_lens, samples)
     for c in calls:
-        info = {"TLOD": f"{c.tlod:.2f}", "DP": c.depth}
+        info = {"TLOD": f"{c.tlod:.2f}", "DP": c.depth,
+                "ECNT": c.ecnt, "MBQ": f"{c.mbq_ref},{c.mbq_alt}",
+                "MMQ": f"60,{c.mmq_alt}", "MPOS": c.mpos,
+                "POPAF": f"{-np.log10(max(c.pop_af, 1e-10)):.2f}"}
         if c.nlod is not None:
             info["NLOD"] = f"{c.nlod:.2f}"
+        if c.n_artifact_lod is not None:
+            info["NALOD"] = f"{c.n_artifact_lod:.2f}"
         sample = {"GT": "0/1", "AD": f"{c.ad_ref},{c.ad_alt}",
-                  "AF": f"{c.af:.3f}"}
+                  "AF": f"{c.af:.3f}",
+                  "SB": ",".join(str(x) for x in c.sb)}
         fields = [sample] + ([{"GT": "0/0"}] if normal_sample else [])
         w.add(c.contig, c.pos + 1, c.ref, [c.alt], info, list(c.filters),
               fields)
