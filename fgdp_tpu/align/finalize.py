@@ -881,9 +881,20 @@ def gen_alt(pref: PackedReference, opt: AlignConfig, codes, regs):
 
 
 def selected_regs(opt: AlignConfig, regs):
-    """Indices of regs that mem_reg2sam will emit (score/secondary gate)."""
-    return [k for k, r in enumerate(regs)
-            if r["score"] >= opt.T and r["secondary"] < 0]
+    """Indices of regs that mem_reg2sam will emit
+    (bwamem.cpp:2000-2005): score/secondary gates; with -a (MEM_F_ALL)
+    non-alt secondaries above drop_ratio are emitted too."""
+    out = []
+    for k, r in enumerate(regs):
+        if r["score"] < opt.T:
+            continue
+        if r["secondary"] >= 0 and (r["is_alt"] or not opt.output_all):
+            continue
+        if 0 <= r["secondary"] < 2**31 - 1 and \
+                r["score"] < regs[r["secondary"]]["score"] * opt.drop_ratio:
+            continue
+        out.append(k)
+    return out
 
 
 def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
@@ -891,13 +902,14 @@ def reg2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
     """mem_reg2sam (bwamem.cpp:1983-2040). regs already through
     dedup + mark_primary. alns_by_k: optional precomputed reg2aln
     results (from reg2aln_batch). Returns list of SAM lines."""
-    xa = gen_alt(pref, opt, codes, regs)
+    # with -a, secondaries are emitted as records, not XA (bwamem.cpp:1991)
+    xa = gen_alt(pref, opt, codes, regs) if not opt.output_all \
+        else [None] * len(regs)
     alns = []
     keep = []
+    sel = set(selected_regs(opt, regs))
     for k, r in enumerate(regs):
-        if r["score"] < opt.T:
-            continue
-        if r["secondary"] >= 0:   # MEM_F_ALL (-a) not yet supported
+        if k not in sel:
             continue
         a = alns_by_k[k] if alns_by_k is not None and k in alns_by_k \
             else reg2aln(pref, opt, codes, r)

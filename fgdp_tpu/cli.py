@@ -34,15 +34,16 @@ def cmd_index(args):
           file=sys.stderr)
 
 
-def _load_aligner(prefix, batch):
-    from .config import BatchShapes
+def _load_aligner(prefix, batch, output_all=False):
+    from .config import AlignConfig, BatchShapes
     from .index.fmindex import FMIndex
     from .index.reference import PackedReference
     from .pipeline import Aligner
 
     pref = PackedReference.load(prefix + ".ref")
     fm = FMIndex.load(prefix + ".fmi")
-    return Aligner(pref, fm, shapes=BatchShapes(batch_reads=batch))
+    return Aligner(pref, fm, opt=AlignConfig(output_all=output_all),
+                   shapes=BatchShapes(batch_reads=batch))
 
 
 def _read_batches(paths, batch):
@@ -67,9 +68,10 @@ def _read_batches(paths, batch):
 
 
 def cmd_mem(args):
-    from .utils.profiling import PROF, READ_IO, SAM_IO, WORKER_SAM
+    from .utils.profiling import PROF, READ_IO, SAM_IO
 
-    aligner = _load_aligner(args.prefix, args.batch)
+    aligner = _load_aligner(args.prefix, args.batch,
+                            output_all=args.all_alignments)
     out = open(args.output, "w") if args.output else sys.stdout
     for ln in aligner.sam_header():
         out.write(ln + "\n")
@@ -82,11 +84,12 @@ def cmd_mem(args):
         if batch is None:
             break
         names, seqs, quals = batch
-        with PROF.phase(WORKER_SAM):
-            if len(args.reads) == 2:
-                lines = aligner.align_pairs(names, seqs, quals, id0=n)
-            else:
-                lines = aligner.align_batch(names, seqs, quals, id0=n)
+        # device/finalize time is attributed inside the Aligner
+        # (MEM_DEVICE / JIT_COMPILE / WORKER_SAM phases)
+        if len(args.reads) == 2:
+            lines = aligner.align_pairs(names, seqs, quals, id0=n)
+        else:
+            lines = aligner.align_batch(names, seqs, quals, id0=n)
         with PROF.phase(SAM_IO):
             for ln in lines:
                 out.write(ln + "\n")
@@ -124,7 +127,9 @@ def _bam_to_read_dicts(path):
             seq_codes=dna.encode(r["seq"]).astype(np.int64),
             quals=np.frombuffer(r["qual"], np.uint8).astype(np.int64),
             mate_start=r["next_pos"] if r["next_rid"] == r["rid"] else None,
-            properly_paired=bool(r["flag"] & 0x2)))
+            properly_paired=bool(r["flag"] & 0x2),
+            mapq=r["mapq"], is_reverse=bool(r["flag"] & 0x10),
+            frag_len=r["tlen"]))
     return names, lens, reads
 
 
@@ -135,7 +140,20 @@ def cmd_mutect(args):
     ref = read_fasta(args.reference)
     names, lens, tumor = _bam_to_read_dicts(args.input)
     normal = _bam_to_read_dicts(args.normal)[2] if args.normal else []
+    # --bqsr-within-mutect (reference main.cpp:204-211): recalibrate
+    # base qualities from per-sample recal tables before calling
+    if args.bqsr_tumor:
+        from .call.bqsr import BQSRReadTransformer
+        tr = BQSRReadTransformer(args.bqsr_tumor)
+        for r in tumor:
+            tr.apply(r)
+    if args.bqsr_normal and normal:
+        from .call.bqsr import BQSRReadTransformer
+        tr = BQSRReadTransformer(args.bqsr_normal)
+        for r in normal:
+            tr.apply(r)
     all_calls = []
+    callable_sites = 0
     for cid, cname in enumerate(ref.names):
         codes = ref.contig_codes(cid)
         t = [r for r in tumor if r["rid"] == cid]
@@ -144,6 +162,11 @@ def cmd_mutect(args):
             continue
         eng = Mutect2Engine(codes, cname, cnn_model_path=args.deep_model)
         all_calls.extend(eng.call(t, nr))
+        callable_sites += eng.callable_sites
+    # FilterMutectCalls 2-pass (reference main.cpp:643-662)
+    from .call.engine import apply_filter_mutect_calls
+    apply_filter_mutect_calls(all_calls,
+                              callable_sites=max(callable_sites, 1))
     write_vcf(args.output, all_calls, ref.names,
               np.diff(ref.offsets).tolist(),
               normal_sample="NORMAL" if args.normal else None)
@@ -165,6 +188,8 @@ def main(argv=None):
     pm.add_argument("reads", nargs="+")
     pm.add_argument("-o", "--output")
     pm.add_argument("-b", "--batch", type=int, default=512)
+    pm.add_argument("-a", dest="all_alignments", action="store_true",
+                    help="output all alignments (MEM_F_ALL)")
     pm.set_defaults(fn=cmd_mem)
 
     ps = sub.add_parser("sormadup")
@@ -179,6 +204,8 @@ def main(argv=None):
     pc.add_argument("-N", "--normal")
     pc.add_argument("-O", "--output", required=True)
     pc.add_argument("--deep-model", help="TorchScript CNN gate (trans.pt)")
+    pc.add_argument("--bqsr-tumor", help="GATK recal table for tumor reads")
+    pc.add_argument("--bqsr-normal", help="GATK recal table for normal reads")
     pc.set_defaults(fn=cmd_mutect)
 
     args = p.parse_args(argv)

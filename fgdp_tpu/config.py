@@ -59,6 +59,7 @@ class AlignConfig:
     max_ins: int = 10000
     max_matesw: int = 50
     XA_drop_ratio: float = 0.80
+    output_all: bool = False          # MEM_F_ALL (-a)
     max_XA_hits: int = 5
     max_XA_hits_alt: int = 200
     mapQ_coef_len: float = 50.0

@@ -49,18 +49,33 @@ def _empty_seeds(B, S):
 
 
 def _append_seed(seeds: SeedBatch, mask, m, n, k, s):
-    """Masked per-lane append into the seed buffers."""
+    """Masked per-lane append into the seed buffers.
+
+    One-hot select instead of scatter: row scatters serialize on TPU and
+    dominate loop-body cost; a [B, S] select vectorizes on the VPU."""
     B, S = seeds.m.shape
-    bidx = jnp.arange(B)
-    slot = jnp.where(mask & (seeds.count < S), seeds.count, S)  # S -> dropped
+    can = mask & (seeds.count < S)
+    oh = (jnp.arange(S)[None, :] == seeds.count[:, None]) & can[:, None]
+    upd = lambda dst, v: jnp.where(oh, v[:, None], dst)
     return SeedBatch(
-        m=seeds.m.at[bidx, slot].set(m, mode="drop"),
-        n=seeds.n.at[bidx, slot].set(n, mode="drop"),
-        k=seeds.k.at[bidx, slot].set(k, mode="drop"),
-        s=seeds.s.at[bidx, slot].set(s, mode="drop"),
-        count=seeds.count + (mask & (seeds.count < S)).astype(jnp.int32),
+        m=upd(seeds.m, m),
+        n=upd(seeds.n, n),
+        k=upd(seeds.k, k),
+        s=upd(seeds.s, s),
+        count=seeds.count + can.astype(jnp.int32),
         overflow=seeds.overflow | (mask & (seeds.count >= S)),
     )
+
+
+def _prev_push(pm, pn, pk, pl, ps, num_prev, push, P, m, n, k, l, s):
+    """Masked push of (m, n, k, l, s) onto each lane's prev stack via a
+    one-hot select (scatters serialize on TPU). Returns updated arrays +
+    num_prev."""
+    can = push & (num_prev < P)
+    oh = (jnp.arange(P)[None, :] == num_prev[:, None]) & can[:, None]
+    upd = lambda dst, v: jnp.where(oh, v[:, None], dst)
+    return (upd(pm, m), upd(pn, n), upd(pk, k), upd(pl, l), upd(ps, s),
+            jnp.minimum(num_prev + push.astype(jnp.int32), P))
 
 
 def _read_base(codes, j):
@@ -100,7 +115,6 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
 
     def make_body(P):
         parange = jnp.arange(P)[None, :]
-        lidx = jnp.arange(NL)
 
         def body(st):
             j = x - 1 - st["t"]
@@ -137,15 +151,16 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
             prev_ns = jnp.concatenate(
                 [jnp.full((NL, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
             keep = survive & (first_surv | (ns != prev_ns))
-            pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-            slot2 = jnp.where(keep & proc[:, None], pos, P)
-            scat = lambda src: jnp.zeros((NL, P), jnp.int32).at[
-                lidx[:, None], slot2].set(src, mode="drop")
-            npm = scat(jnp.broadcast_to(j[:, None], (NL, P)))
-            npn = scat(st["pn"])
-            npk = scat(nk)
-            npl = scat(nl)
-            nps = scat(ns)
+            # left-compact kept entries via an in-row argsort permutation
+            # (kept first, original order) — scatters serialize on TPU
+            perm = jnp.argsort(
+                jnp.where(keep, parange, P + parange), axis=1)
+            compact = lambda src: jnp.take_along_axis(src, perm, axis=1)
+            npm = jnp.broadcast_to(j[:, None], (NL, P))  # new start = j
+            npn = compact(st["pn"])
+            npk = compact(nk)
+            npl = compact(nl)
+            nps = compact(ns)
             ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
 
             return dict(
@@ -195,7 +210,7 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
     """
     B, L = codes.shape
     P = prev_cap
-    bidx = jnp.arange(B)
+
 
     a0 = _read_base(codes, x)
     started = active & (a0 < 4) & (x < lens)
@@ -225,13 +240,9 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
         nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
         changed = ns != st["s"]
         push = ext & changed
-        slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
-        pm = st["pm"].at[bidx, slot].set(x, mode="drop")
-        pn = st["pn"].at[bidx, slot].set(st["n"], mode="drop")
-        pk = st["pk"].at[bidx, slot].set(st["k"], mode="drop")
-        pl = st["pl"].at[bidx, slot].set(st["l"], mode="drop")
-        ps = st["ps"].at[bidx, slot].set(st["s"], mode="drop")
-        num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+        pm, pn, pk, pl, ps, num_prev = _prev_push(
+            st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
+            st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
 
         die = ext & (ns < min_intv)
         take = ext & ~die
@@ -253,13 +264,9 @@ def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
 
     # final push of the last interval (FMI_search.cpp:1249-1254)
     push = started & (st["s"] >= min_intv)
-    slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
-    pm = st["pm"].at[bidx, slot].set(x, mode="drop")
-    pn = st["pn"].at[bidx, slot].set(st["n"], mode="drop")
-    pk = st["pk"].at[bidx, slot].set(st["k"], mode="drop")
-    pl = st["pl"].at[bidx, slot].set(st["l"], mode="drop")
-    ps = st["ps"].at[bidx, slot].set(st["s"], mode="drop")
-    num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+    pm, pn, pk, pl, ps, num_prev = _prev_push(
+        st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
+        st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
     next_x = st["next_x"]
 
     # reverse prev so longest matches (smallest intervals) come first
@@ -393,7 +400,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
     B, L = codes.shape
     P = prev_cap
     SA = max_out
-    lidx = jnp.arange(NL)
+
     lens_l = lens[ridx]
 
     a0 = _read_base_at(codes, ridx, x)
@@ -421,13 +428,9 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
         nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
         changed = ns != st["s"]
         push = ext & changed
-        slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
-        pm = st["pm"].at[lidx, slot].set(x, mode="drop")
-        pn = st["pn"].at[lidx, slot].set(st["n"], mode="drop")
-        pk = st["pk"].at[lidx, slot].set(st["k"], mode="drop")
-        pl = st["pl"].at[lidx, slot].set(st["l"], mode="drop")
-        ps = st["ps"].at[lidx, slot].set(st["s"], mode="drop")
-        num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+        pm, pn, pk, pl, ps, num_prev = _prev_push(
+            st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
+            st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
         die = ext & (ns < min_intv)
         take = ext & ~die
         return dict(
@@ -444,13 +447,9 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
     st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
 
     push = started & (st["s"] >= min_intv)
-    slot = jnp.where(push & (st["num_prev"] < P), st["num_prev"], P)
-    pm = st["pm"].at[lidx, slot].set(x, mode="drop")
-    pn = st["pn"].at[lidx, slot].set(st["n"], mode="drop")
-    pk = st["pk"].at[lidx, slot].set(st["k"], mode="drop")
-    pl = st["pl"].at[lidx, slot].set(st["l"], mode="drop")
-    ps = st["ps"].at[lidx, slot].set(st["s"], mode="drop")
-    num_prev = jnp.minimum(st["num_prev"] + push.astype(jnp.int32), P)
+    pm, pn, pk, pl, ps, num_prev = _prev_push(
+        st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
+        st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
 
     # reverse prev so longest matches come first
     ridx2 = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
@@ -468,13 +467,13 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
                      overflow=st["povf"])
 
     def emit(seeds: LaneSeeds, mask, em, en, ek, es):
-        slot = jnp.where(mask & (seeds.count < SA), seeds.count, SA)
+        can = mask & (seeds.count < SA)
+        oh = (jnp.arange(SA)[None, :] == seeds.count[:, None]) & can[:, None]
+        upd = lambda dst, v: jnp.where(oh, v[:, None], dst)
         return LaneSeeds(
-            m=seeds.m.at[lidx, slot].set(em, mode="drop"),
-            n=seeds.n.at[lidx, slot].set(en, mode="drop"),
-            k=seeds.k.at[lidx, slot].set(ek, mode="drop"),
-            s=seeds.s.at[lidx, slot].set(es, mode="drop"),
-            count=seeds.count + (mask & (seeds.count < SA)).astype(jnp.int32),
+            m=upd(seeds.m, em), n=upd(seeds.n, en),
+            k=upd(seeds.k, ek), s=upd(seeds.s, es),
+            count=seeds.count + can.astype(jnp.int32),
             overflow=seeds.overflow | (mask & (seeds.count >= SA)),
         )
 

@@ -50,8 +50,13 @@ class Aligner:
         self.shapes = shapes or BatchShapes()
         self.dref = DeviceReference(pref)
         self.dfm = DeviceFMIndex.from_host(fm)
+        # host-only output options don't shape the device program; pin
+        # them to defaults in the jit key so e.g. -a reuses the cache
+        import dataclasses as _dc
+        dev_opt = _dc.replace(self.opt, output_all=False)
         self._fn = jax.jit(functools.partial(
-            device_align, opt=self.opt, shapes=self.shapes))
+            device_align, opt=dev_opt, shapes=self.shapes))
+        self._warm = False
 
     @classmethod
     def build(cls, pref: PackedReference, **kw) -> "Aligner":
@@ -69,28 +74,32 @@ class Aligner:
     def align_batch(self, names, seq_codes, quals=None, id0: int = 0):
         """Single-end alignment. names: list[str]; seq_codes: list of int
         arrays (0..4). Returns SAM lines (one or more per read)."""
-        reg_lists = self._reg_lists(seq_codes, self._device_regs(seq_codes))
-        # batch the reg2aln DP (CIGAR/MD) across the whole read batch
-        jobs = []
-        job_of = []
-        for b, rl in enumerate(reg_lists):
-            finalize.mark_primary(self.opt, rl, id0 + b)
-            codes = np.asarray(seq_codes[b], np.int64)
-            for k in finalize.selected_regs(self.opt, rl):
-                jobs.append((codes, rl[k]))
-                job_of.append((b, k))
-        alns = finalize.reg2aln_batch(self.pref, self.opt, jobs) \
-            if jobs else []
-        aln_maps = [dict() for _ in reg_lists]
-        for (b, k), a in zip(job_of, alns):
-            aln_maps[b][k] = a
-        out = []
-        for b, rl in enumerate(reg_lists):
-            qual = quals[b] if quals else None
-            out.extend(finalize.reg2sam(
-                self.pref, self.opt, names[b],
-                np.asarray(seq_codes[b], np.int64), qual, rl, id0 + b,
-                alns_by_k=aln_maps[b]))
+        from .utils.profiling import PROF, WORKER_SAM
+
+        regs_np = self._device_regs(seq_codes)
+        with PROF.phase(WORKER_SAM):
+            reg_lists = self._reg_lists(seq_codes, regs_np)
+            # batch the reg2aln DP (CIGAR/MD) across the whole read batch
+            jobs = []
+            job_of = []
+            for b, rl in enumerate(reg_lists):
+                finalize.mark_primary(self.opt, rl, id0 + b)
+                codes = np.asarray(seq_codes[b], np.int64)
+                for k in finalize.selected_regs(self.opt, rl):
+                    jobs.append((codes, rl[k]))
+                    job_of.append((b, k))
+            alns = finalize.reg2aln_batch(self.pref, self.opt, jobs) \
+                if jobs else []
+            aln_maps = [dict() for _ in reg_lists]
+            for (b, k), a in zip(job_of, alns):
+                aln_maps[b][k] = a
+            out = []
+            for b, rl in enumerate(reg_lists):
+                qual = quals[b] if quals else None
+                out.extend(finalize.reg2sam(
+                    self.pref, self.opt, names[b],
+                    np.asarray(seq_codes[b], np.int64), qual, rl, id0 + b,
+                    alns_by_k=aln_maps[b]))
         return out
 
     def align_pairs(self, names, seq_codes, quals=None, id0: int = 0):
@@ -98,28 +107,33 @@ class Aligner:
         ...] (reference worker layout, bseq 2i/2i+1). Returns SAM lines."""
         from .align import pair as pairmod
 
+        from .utils.profiling import PROF, WORKER_SAM
+
         B = len(seq_codes)
         assert B % 2 == 0
         regs_np = self._device_regs(seq_codes)
-        reg_lists = self._reg_lists(seq_codes, regs_np)
-        reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
-                     for i in range(B // 2)]
-        pes = pairmod.pestat(self.opt, self.pref.l_pac, reg_pairs)
-        out = []
-        for i in range(B // 2):
-            q1 = quals[2 * i] if quals else None
-            q2 = quals[2 * i + 1] if quals else None
-            l0, l1 = pairmod.sam_pe(
-                self.opt, self.pref, pes, id0 + i,
-                (names[2 * i], names[2 * i + 1]),
-                (np.asarray(seq_codes[2 * i], np.int64),
-                 np.asarray(seq_codes[2 * i + 1], np.int64)),
-                (q1, q2), list(reg_pairs[i]))
-            out.extend(l0)
-            out.extend(l1)
+        with PROF.phase(WORKER_SAM):
+            reg_lists = self._reg_lists(seq_codes, regs_np)
+            reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
+                         for i in range(B // 2)]
+            pes = pairmod.pestat(self.opt, self.pref.l_pac, reg_pairs)
+            out = []
+            for i in range(B // 2):
+                q1 = quals[2 * i] if quals else None
+                q2 = quals[2 * i + 1] if quals else None
+                l0, l1 = pairmod.sam_pe(
+                    self.opt, self.pref, pes, id0 + i,
+                    (names[2 * i], names[2 * i + 1]),
+                    (np.asarray(seq_codes[2 * i], np.int64),
+                     np.asarray(seq_codes[2 * i + 1], np.int64)),
+                    (q1, q2), list(reg_pairs[i]))
+                out.extend(l0)
+                out.extend(l1)
         return out
 
     def _device_regs(self, seq_codes):
+        from .utils.profiling import PROF
+
         B = len(seq_codes)
         L = self.shapes.read_len
         codes = np.full((B, L), 4, np.int32)
@@ -128,9 +142,16 @@ class Aligner:
             n = min(len(s), L)
             codes[i, :n] = np.asarray(s[:n], np.int32)
             lens[i] = n
-        regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
-                        jnp.asarray(lens), jnp.ones(B, bool))
-        return {k: np.asarray(v) for k, v in regs._asdict().items()}
+        # first call compiles; report it apart from steady-state device
+        # time (display_stats taxonomy: MEM_COLLECT+MEM_ALN2 are fused in
+        # one device program here)
+        phase = "MEM_DEVICE" if self._warm else "JIT_COMPILE"
+        with PROF.phase(phase):
+            regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
+                            jnp.asarray(lens), jnp.ones(B, bool))
+            regs = {k: np.asarray(v) for k, v in regs._asdict().items()}
+        self._warm = True
+        return regs
 
     def _reg_lists(self, seq_codes, regs):
         """Device regs -> per-read dict lists through dedup/patch,

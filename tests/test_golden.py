@@ -119,3 +119,28 @@ def test_golden_paired_end(aligner):
     with open(os.path.join(HERE, "pe.oracle.sam")) as f:
         oracle = f.read().splitlines()
     _compare(oracle, lines, PAIR_COLS, 196, 194, 2 * len(n1))
+
+
+def test_golden_all_alignments():
+    """-a / MEM_F_ALL: secondary records emitted (flag 0x100, SEQ '*')
+    instead of XA tags (bwamem.cpp:1991,2003)."""
+    from fgdp_tpu.config import AlignConfig
+
+    pref = PackedReference.from_fasta(os.path.join(HERE, "rep_ref.fa"))
+    al = Aligner.build(pref, opt=AlignConfig(output_all=True),
+                       shapes=SHAPES)
+    names, seqs, quals = _load_fastq(os.path.join(HERE, "rep.fq"))
+    lines = al.align_batch(names, seqs, quals)
+    with open(os.path.join(HERE, "rep_a.oracle.sam")) as f:
+        oracle = [l for l in f.read().splitlines() if not l.startswith("@")]
+    ours = [l for l in lines if not l.startswith("@")]
+    # secondary record count parity
+    osec = sorted(l.split("\t")[3] for l in oracle
+                  if int(l.split("\t")[1]) & 0x100)
+    usec = sorted(l.split("\t")[3] for l in ours
+                  if int(l.split("\t")[1]) & 0x100)
+    matches = sum(a == b for a, b in zip(osec, usec))
+    assert len(usec) >= 0.9 * len(osec), (len(usec), len(osec))
+    assert matches >= 0.9 * min(len(osec), len(usec)), matches
+    # no XA tags in -a mode
+    assert not any("XA:Z" in l for l in ours)
