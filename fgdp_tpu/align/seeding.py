@@ -30,8 +30,8 @@ from ..ops.smem import SeedBatch
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
-def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
-                  max_seeds: int, prev_cap: int = 20,
+def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
+                  opt: AlignConfig, max_seeds: int, prev_cap: int = 20,
                   k2_per_read: int = 2, lane_emit_cap: int = 16) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
@@ -50,9 +50,9 @@ def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
     # anchors per read the sequential frontier does far fewer speculative
     # gathers than the anchor-parallel discovery pass (smem_all_pos vs
     # anchor_next_x — the latter remains for dense-anchor inputs). ---
-    seeds = smemops.smem_all_pos(dfm, codes, lens, jnp.ones(B, jnp.int32),
-                                 active, opt.min_seed_len, max_seeds,
-                                 prev_cap)
+    seeds = smemops.smem_all_pos(dfm, dref.codes, dref.l_pac, codes, lens,
+                                 jnp.ones(B, jnp.int32), active,
+                                 opt.min_seed_len, max_seeds, prev_cap)
     k1_count = seeds.count
 
     # --- K2: qualifying K1 SMEMs re-seeded at their midpoint. Jobs are
@@ -77,7 +77,7 @@ def collect_seeds(dfm: DeviceFMIndex, codes, lens, active, opt: AlignConfig,
     ].max(fq & (qslot >= NK), mode="drop")
 
     k2lanes = smemops.smem_one_pos_lanes(
-        dfm, codes, lens, k_read, job_x, job_mi,
+        dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x, job_mi,
         k_on, opt.min_seed_len, prev_cap, lane_emit_cap)
     seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on, B,
                                      max_seeds, into=seeds)

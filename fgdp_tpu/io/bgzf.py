@@ -34,10 +34,19 @@ def compress_block(data: bytes, level: int = 6) -> bytes:
     return header + comp + footer
 
 
-def compress_stream(data: bytes, level: int = 6):
+def compress_stream(data: bytes, level: int = 6, threads: int = 8):
     """Split data into BGZF blocks; returns (bytes, block_table) where
     block_table = [(uncompressed_start, compressed_start, ulen)] — the
-    bookkeeping needed to compute virtual offsets for the index."""
+    bookkeeping needed to compute virtual offsets for the index.
+
+    Uses the native pthread-parallel compressor when available (the
+    reference's out-of-tree bgzf_flush2 parallel writer, sortmardup/
+    main.cpp:406); falls back to serial zlib."""
+    if len(data) > 4 * MAX_BLOCK and threads > 1:
+        from . import native
+        res = native.bgzf_compress(data, level, threads)
+        if res is not None:
+            return res
     out = []
     table = []
     coff = 0

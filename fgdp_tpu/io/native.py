@@ -22,7 +22,8 @@ _tried = False
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz",
+         "-lpthread"],
         check=True, capture_output=True)
 
 
@@ -40,6 +41,7 @@ def get_lib():
         lib.parse_sam_numeric.restype = ctypes.c_long
         lib.assign_rid_pairid.restype = None
         lib.encode_bam_records.restype = ctypes.c_int64
+        lib.bgzf_compress_parallel.restype = ctypes.c_int64
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -168,3 +170,28 @@ def encode_bam_records(data: bytes, line_start, line_end, flag_override,
     if w < 0:
         return None
     return bytes(out[:w]), rec_off, rid, pos, rlen
+
+
+def bgzf_compress(data: bytes, level: int = 6, threads: int = 8):
+    """Parallel BGZF compression (native/fgdp_native.cc pthread pool).
+    Returns (compressed bytes, block_table [(ustart, coff, ulen)]) with
+    io/bgzf.compress_stream semantics, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    MAX_BLOCK = 0xFF00
+    n = len(data)
+    n_blocks = max((n + MAX_BLOCK - 1) // MAX_BLOCK, 1)
+    stride = 0x10000 + 64
+    out = np.empty(n_blocks * stride, np.uint8)
+    coff = np.zeros(n_blocks + 1, np.int64)
+    w = lib.bgzf_compress_parallel(
+        data, ctypes.c_int64(n), ctypes.c_int(level), ctypes.c_int(threads),
+        _ptr(out, ctypes.c_char), ctypes.c_int64(stride),
+        _ptr(coff, ctypes.c_int64))
+    if w < 0:
+        return None
+    table = [(b * MAX_BLOCK, int(coff[b]),
+              min(n - b * MAX_BLOCK, MAX_BLOCK) if n else 0)
+             for b in range(n_blocks)]
+    return bytes(out[:w]), table

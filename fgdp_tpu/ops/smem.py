@@ -67,14 +67,15 @@ def _append_seed(seeds: SeedBatch, mask, m, n, k, s):
     )
 
 
-def _prev_push(pm, pn, pk, pl, ps, num_prev, push, P, m, n, k, l, s):
-    """Masked push of (m, n, k, l, s) onto each lane's prev stack via a
+def _prev_push(pm, pn, pk, ps, num_prev, push, P, m, n, k, s):
+    """Masked push of (m, n, k, s) onto each lane's prev stack via a
     one-hot select (scatters serialize on TPU). Returns updated arrays +
-    num_prev."""
+    num_prev. The RC-interval bound l is NOT stacked: the backward phase
+    only ever extends backward, so l is dead there."""
     can = push & (num_prev < P)
     oh = (jnp.arange(P)[None, :] == num_prev[:, None]) & can[:, None]
     upd = lambda dst, v: jnp.where(oh, v[:, None], dst)
-    return (upd(pm, m), upd(pn, n), upd(pk, k), upd(pl, l), upd(ps, s),
+    return (upd(pm, m), upd(pn, n), upd(pk, k), upd(ps, s),
             jnp.minimum(num_prev + push.astype(jnp.int32), P))
 
 
@@ -84,6 +85,123 @@ def _read_base(codes, j):
     jj = jnp.clip(j, 0, L - 1)
     a = jnp.take_along_axis(codes, jj[:, None], axis=1)[:, 0].astype(jnp.int32)
     return jnp.where((j >= 0) & (j < L), a, 4)
+
+
+def _text_base(ref_codes, l_pac, p):
+    """Char at position p of the FM text (fwd reference + revcomp;
+    sentinel / out of range -> 4). Lets s==1 intervals extend by direct
+    text comparison instead of occ lookups."""
+    fwd = p < l_pac
+    idx = jnp.where(fwd, p, 2 * l_pac - 1 - p)
+    c = jnp.take(ref_codes, jnp.clip(idx, 0, l_pac - 1),
+                 mode="clip").astype(jnp.int32)
+    c = jnp.where(fwd, c, 3 - c)
+    return jnp.where((p >= 0) & (p < 2 * l_pac), c, jnp.int32(4))
+
+
+def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
+               read_base, read_grid, started, P):
+    """Forward phase of getSMEMsOnePosOneThread (FMI_search.cpp:1201-1260)
+    over independent lanes, with a single-suffix fast path.
+
+    Once an interval narrows to s == 1, (k, s) are invariant under
+    further matching forward extensions (the interval is one fixed
+    suffix), and no prev pushes occur until the match ends — so the lane
+    pauses in the occ-lookup loop and its full remaining extension is
+    resolved afterwards by ONE SA lookup + vectorized text comparison.
+    Push/next_x semantics are bit-identical to the plain loop.
+
+    read_base(j) -> int32[NL]; read_grid(jt int32[NL, T]) -> int32[NL, T]
+    (both with 4 = out-of-buffer/ambiguous). Returns dict(pm, pn, pk, ps,
+    num_prev, povf, next_x) with prev reversed (longest match first).
+    """
+    NL = x.shape[0]
+    a0 = read_base(x)
+    k0, l0, s0 = fmops.init_interval(fm, a0)
+    pz = jnp.zeros((NL, P), jnp.int32)
+    fwd0 = dict(
+        t=jnp.int32(0),
+        k=k0, l=l0, s=jnp.where(started, s0, 0), n=x,
+        num_prev=jnp.zeros(NL, jnp.int32),
+        pm=pz, pn=pz, pk=pz, ps=pz,
+        next_x=x + 1,
+        alive=started,
+        povf=jnp.zeros(NL, bool),
+    )
+
+    def fwd_cond(st):
+        return jnp.any(st["alive"] & (st["s"] > 1)) & (st["t"] < L)
+
+    def fwd_body(st):
+        j = x + 1 + st["t"]
+        stepping = st["alive"] & (st["s"] > 1)
+        in_range = stepping & (j < lens_l)
+        a = read_base(j)
+        ext = in_range & (a < 4)
+        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
+        changed = ns != st["s"]
+        push = ext & changed
+        povf = st["povf"] | (push & (st["num_prev"] >= P))
+        pm, pn, pk, ps, num_prev = _prev_push(
+            st["pm"], st["pn"], st["pk"], st["ps"],
+            st["num_prev"], push, P, x, st["n"], st["k"], st["s"])
+
+        die = ext & (ns < min_intv)
+        take = ext & ~die
+        next_x = jnp.where(in_range, j + 1, st["next_x"])
+        next_x = jnp.where(die, j, next_x)
+        return dict(
+            t=st["t"] + 1,
+            k=jnp.where(take, nk, st["k"]),
+            l=jnp.where(take, nl, st["l"]),
+            s=jnp.where(take, ns, st["s"]),
+            n=jnp.where(take, j, st["n"]),
+            num_prev=num_prev, pm=pm, pn=pn, pk=pk, ps=ps,
+            next_x=next_x,
+            alive=jnp.where(stepping, take, st["alive"]),
+            povf=povf,
+        )
+
+    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
+
+    # ---- fast-path epilogue: resolve paused single-suffix lanes ----
+    paused = st["alive"] & (st["s"] == 1) & started
+    pos = fmops.sa_lookup(fm, st["k"])
+    depth = st["n"] - x + 1
+    tgrid = jnp.arange(L, dtype=jnp.int32)[None, :]
+    jt = (st["n"] + 1)[:, None] + tgrid
+    rb = read_grid(jt)
+    rb = jnp.where(jt < lens_l[:, None], rb, 4)
+    tp = pos[:, None] + depth[:, None] + tgrid
+    tb = _text_base(ref_codes, l_pac, tp)
+    ok = (rb == tb) & (rb < 4) & (tb < 4)
+    stop_t = jnp.argmax(~ok, axis=1).astype(jnp.int32)
+    n_new = st["n"] + stop_t
+    jd = n_new + 1
+    rb_stop = jnp.take_along_axis(rb, stop_t[:, None], axis=1)[:, 0]
+    is_end = jd >= lens_l                 # ran off the read
+    is_amb = ~is_end & (rb_stop >= 4)     # ambiguous read base: no push
+    nx_fast = jnp.where(is_end, lens_l, jnp.where(is_amb, jd + 1, jd))
+    n_fin = jnp.where(paused, n_new, st["n"])
+    next_x = jnp.where(paused, nx_fast, st["next_x"])
+    # interval-death push (mismatch): pre-state (x, n, k, s=1), exactly
+    # the in-loop push the paused lane would have made
+    push_c = paused & ~is_end & ~is_amb
+    povf = st["povf"] | (push_c & (st["num_prev"] >= P))
+    pm, pn, pk, ps, num_prev = _prev_push(
+        st["pm"], st["pn"], st["pk"], st["ps"],
+        st["num_prev"], push_c, P, x, n_fin, st["k"], st["s"])
+
+    # final push of the last interval (FMI_search.cpp:1249-1254)
+    push = started & (st["s"] >= min_intv)
+    pm, pn, pk, ps, num_prev = _prev_push(
+        pm, pn, pk, ps, num_prev, push, P, x, n_fin, st["k"], st["s"])
+
+    # reverse prev so longest matches (smallest intervals) come first
+    ridx = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
+    rev = lambda a: jnp.take_along_axis(a, ridx, axis=1)
+    return dict(pm=rev(pm), pn=rev(pn), pk=rev(pk), ps=rev(ps),
+                num_prev=num_prev, povf=povf, next_x=next_x)
 
 
 # --------------------------------------------------------------------------
@@ -108,8 +226,10 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
     (FMI_search.cpp:1262-1339) over independent lanes.
 
     read_base(j) -> int32[NL] base codes (4 = out of range / ambiguous);
-    st: dict(t, num_prev, pm, pn, pk, pl, ps, alive, seeds);
+    st: dict(t, num_prev, pm, pn, pk, ps, alive, seeds);
     emit(seeds, mask, m, n, k, s) -> seeds. Returns the final st.
+    The RC bound l is not tracked: the backward phase never forward-
+    extends, so l is write-only here.
     """
     NL = st["num_prev"].shape[0]
 
@@ -123,8 +243,8 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
             proc = in_range & (a < 4)
 
             c = jnp.broadcast_to(a[:, None], (NL, P))
-            nk, nl, ns = fmops.backward_extend(
-                fm, st["pk"], st["pl"], st["ps"], c)
+            nk, _, ns = fmops.backward_extend(
+                fm, st["pk"], st["ps"], st["ps"], c)   # l input is dead
             validp = parange < st["num_prev"][:, None]
             survive = validp & (ns >= min_intv[:, None])
             plen = st["pn"] - st["pm"] + 1
@@ -159,7 +279,6 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
             npm = jnp.broadcast_to(j[:, None], (NL, P))  # new start = j
             npn = compact(st["pn"])
             npk = compact(nk)
-            npl = compact(nl)
             nps = compact(ns)
             ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
 
@@ -169,7 +288,6 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
                 pm=jnp.where(proc[:, None], npm, st["pm"]),
                 pn=jnp.where(proc[:, None], npn, st["pn"]),
                 pk=jnp.where(proc[:, None], npk, st["pk"]),
-                pl=jnp.where(proc[:, None], npl, st["pl"]),
                 ps=jnp.where(proc[:, None], nps, st["ps"]),
                 alive=proc & (ncount > 0),
                 seeds=seeds2,
@@ -192,7 +310,7 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
         if nxt:
             # every live lane's stack now fits in `nxt` entries; dead
             # lanes only ever contribute pm/pn/pk/ps[:, 0] afterwards
-            for f in ("pm", "pn", "pk", "pl", "ps"):
+            for f in ("pm", "pn", "pk", "ps"):
                 st[f] = st[f][:, :nxt]
     return st
 
@@ -201,88 +319,37 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
 # One-anchor SMEM pass (getSMEMsOnePosOneThread parity)
 # --------------------------------------------------------------------------
 
-def smem_one_pos(fm: DeviceFMIndex, codes, lens, x, min_intv, active,
-                 min_seed_len: int, seeds: SeedBatch, prev_cap: int):
+def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
+                 min_intv, active, min_seed_len: int, seeds: SeedBatch,
+                 prev_cap: int):
     """Run one anchor pass for every active lane.
 
-    codes: int32[B, L]; lens, x, min_intv: int32[B]; active: bool[B].
-    Returns (seeds', next_x int32[B]).
+    codes: int32[B, L]; lens, x, min_intv: int32[B]; active: bool[B];
+    ref_codes/l_pac: the packed forward reference (for the single-suffix
+    fast path). Returns (seeds', next_x int32[B]).
     """
     B, L = codes.shape
     P = prev_cap
 
-
     a0 = _read_base(codes, x)
     started = active & (a0 < 4) & (x < lens)
-    k0, l0, s0 = fmops.init_interval(fm, a0)
 
-    # ---- forward phase ----
-    pz = jnp.zeros((B, P), jnp.int32)
-    fwd0 = dict(
-        t=jnp.int32(0),
-        k=k0, l=l0, s=jnp.where(started, s0, 0), n=x,
-        num_prev=jnp.zeros(B, jnp.int32),
-        pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
-        next_x=x + 1,
-        alive=started,
-        povf=jnp.zeros(B, bool),
-    )
+    def read_grid(jt):
+        a = jnp.take_along_axis(codes, jnp.clip(jt, 0, L - 1),
+                                axis=1).astype(jnp.int32)
+        return jnp.where((jt >= 0) & (jt < L), a, 4)
 
-    def fwd_cond(st):
-        return jnp.any(st["alive"]) & (st["t"] < L)
-
-    def fwd_body(st):
-        j = x + 1 + st["t"]
-        in_range = st["alive"] & (j < lens)
-        a = _read_base(codes, j)
-        valid = a < 4
-        ext = in_range & valid
-        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
-        changed = ns != st["s"]
-        push = ext & changed
-        pm, pn, pk, pl, ps, num_prev = _prev_push(
-            st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
-            st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
-
-        die = ext & (ns < min_intv)
-        take = ext & ~die
-        next_x = jnp.where(in_range, j + 1, st["next_x"])
-        next_x = jnp.where(die, j, next_x)
-        return dict(
-            t=st["t"] + 1,
-            k=jnp.where(take, nk, st["k"]),
-            l=jnp.where(take, nl, st["l"]),
-            s=jnp.where(take, ns, st["s"]),
-            n=jnp.where(take, j, st["n"]),
-            num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
-            next_x=next_x,
-            alive=take,
-            povf=st["povf"] | (push & (st["num_prev"] >= P)),
-        )
-
-    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
-
-    # final push of the last interval (FMI_search.cpp:1249-1254)
-    push = started & (st["s"] >= min_intv)
-    pm, pn, pk, pl, ps, num_prev = _prev_push(
-        st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
-        st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
-    next_x = st["next_x"]
-
-    # reverse prev so longest matches (smallest intervals) come first
-    ridx = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
-    pm = jnp.take_along_axis(pm, ridx, axis=1)
-    pn = jnp.take_along_axis(pn, ridx, axis=1)
-    pk = jnp.take_along_axis(pk, ridx, axis=1)
-    pl = jnp.take_along_axis(pl, ridx, axis=1)
-    ps = jnp.take_along_axis(ps, ridx, axis=1)
+    fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens, min_intv,
+                    lambda j: _read_base(codes, j), read_grid, started, P)
+    next_x = fw["next_x"]
 
     # ---- backward phase (pyramid widths) ----
     bwd0 = dict(
         t=jnp.int32(0),
-        num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
-        alive=started & (num_prev > 0),
-        seeds=seeds._replace(overflow=seeds.overflow | st["povf"]),
+        num_prev=fw["num_prev"], pm=fw["pm"], pn=fw["pn"], pk=fw["pk"],
+        ps=fw["ps"],
+        alive=started & (fw["num_prev"] > 0),
+        seeds=seeds._replace(overflow=seeds.overflow | fw["povf"]),
     )
     st = _bwd_pyramid(fm, L, x, min_intv, min_seed_len,
                       lambda j: _read_base(codes, j), bwd0,
@@ -390,9 +457,9 @@ class LaneSeeds(NamedTuple):
     overflow: jax.Array  # bool[NL]
 
 
-def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
-                       active, min_seed_len: int, prev_cap: int,
-                       max_out: int) -> LaneSeeds:
+def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
+                       ridx, x, min_intv, active, min_seed_len: int,
+                       prev_cap: int, max_out: int) -> LaneSeeds:
     """getSMEMsOnePosOneThread over NL independent (read, anchor) lanes.
     codes int32[B, L]; ridx/x/min_intv int32[NL]; active bool[NL].
     Emissions land in per-lane buffers in machine order."""
@@ -405,66 +472,26 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
 
     a0 = _read_base_at(codes, ridx, x)
     started = active & (a0 < 4) & (x < lens_l)
-    k0, l0, s0 = fmops.init_interval(fm, a0)
 
-    pz = jnp.zeros((NL, P), jnp.int32)
-    fwd0 = dict(
-        t=jnp.int32(0),
-        k=k0, l=l0, s=jnp.where(started, s0, 0), n=x,
-        num_prev=jnp.zeros(NL, jnp.int32),
-        pm=pz, pn=pz, pk=pz, pl=pz, ps=pz,
-        alive=started,
-        povf=jnp.zeros(NL, bool),
-    )
+    lane_codes = codes[ridx]      # [NL, L]
 
-    def fwd_cond(st):
-        return jnp.any(st["alive"]) & (st["t"] < L)
+    def read_grid(jt):
+        a = jnp.take_along_axis(lane_codes, jnp.clip(jt, 0, L - 1),
+                                axis=1).astype(jnp.int32)
+        return jnp.where((jt >= 0) & (jt < L), a, 4)
 
-    def fwd_body(st):
-        j = x + 1 + st["t"]
-        in_range = st["alive"] & (j < lens_l)
-        a = _read_base_at(codes, ridx, j)
-        ext = in_range & (a < 4)
-        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
-        changed = ns != st["s"]
-        push = ext & changed
-        pm, pn, pk, pl, ps, num_prev = _prev_push(
-            st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
-            st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
-        die = ext & (ns < min_intv)
-        take = ext & ~die
-        return dict(
-            t=st["t"] + 1,
-            k=jnp.where(take, nk, st["k"]),
-            l=jnp.where(take, nl, st["l"]),
-            s=jnp.where(take, ns, st["s"]),
-            n=jnp.where(take, j, st["n"]),
-            num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
-            alive=take,
-            povf=st["povf"] | (push & (st["num_prev"] >= P)),
-        )
-
-    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
-
-    push = started & (st["s"] >= min_intv)
-    pm, pn, pk, pl, ps, num_prev = _prev_push(
-        st["pm"], st["pn"], st["pk"], st["pl"], st["ps"],
-        st["num_prev"], push, P, x, st["n"], st["k"], st["l"], st["s"])
-
-    # reverse prev so longest matches come first
-    ridx2 = jnp.clip(num_prev[:, None] - 1 - jnp.arange(P)[None, :], 0, P - 1)
-    pm = jnp.take_along_axis(pm, ridx2, axis=1)
-    pn = jnp.take_along_axis(pn, ridx2, axis=1)
-    pk = jnp.take_along_axis(pk, ridx2, axis=1)
-    pl = jnp.take_along_axis(pl, ridx2, axis=1)
-    ps = jnp.take_along_axis(ps, ridx2, axis=1)
+    fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens_l, min_intv,
+                    lambda j: _read_base_at(codes, ridx, j), read_grid,
+                    started, P)
+    num_prev = fw["num_prev"]
+    pm, pn, pk, ps = fw["pm"], fw["pn"], fw["pk"], fw["ps"]
 
     out0 = LaneSeeds(m=jnp.zeros((NL, SA), jnp.int32),
                      n=jnp.zeros((NL, SA), jnp.int32),
                      k=jnp.zeros((NL, SA), jnp.int32),
                      s=jnp.zeros((NL, SA), jnp.int32),
                      count=jnp.zeros(NL, jnp.int32),
-                     overflow=st["povf"])
+                     overflow=fw["povf"])
 
     def emit(seeds: LaneSeeds, mask, em, en, ek, es):
         can = mask & (seeds.count < SA)
@@ -479,7 +506,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, codes, lens, ridx, x, min_intv,
 
     bwd0 = dict(
         t=jnp.int32(0),
-        num_prev=num_prev, pm=pm, pn=pn, pk=pk, pl=pl, ps=ps,
+        num_prev=num_prev, pm=pm, pn=pn, pk=pk, ps=ps,
         alive=started & (num_prev > 0),
         seeds=out0,
     )
@@ -549,8 +576,8 @@ def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
 # All-position SMEM driver (getSMEMsAllPosOneThread parity)
 # --------------------------------------------------------------------------
 
-def smem_all_pos(fm: DeviceFMIndex, codes, lens, min_intv, active,
-                 min_seed_len: int, max_seeds: int, prev_cap: int):
+def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
+                 active, min_seed_len: int, max_seeds: int, prev_cap: int):
     """K1: anchors sweep left to right until every lane is exhausted."""
     B, L = codes.shape
     seeds0 = _empty_seeds(B, max_seeds)
@@ -562,8 +589,9 @@ def smem_all_pos(fm: DeviceFMIndex, codes, lens, min_intv, active,
     def body(st):
         x, seeds = st
         lane_on = active & (x < lens)
-        seeds, next_x = smem_one_pos(fm, codes, lens, x, min_intv, lane_on,
-                                     min_seed_len, seeds, prev_cap)
+        seeds, next_x = smem_one_pos(fm, ref_codes, l_pac, codes, lens, x,
+                                     min_intv, lane_on, min_seed_len, seeds,
+                                     prev_cap)
         x = jnp.where(lane_on, next_x, x)
         return (x, seeds)
 

@@ -28,7 +28,7 @@ from .ops.fm import DeviceFMIndex
 def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                  active, opt: AlignConfig, shapes: BatchShapes):
     """codes int32[B, L] -> AlnRegBatch (jit-able)."""
-    seeds = collect_seeds(dfm, codes, lens, active, opt,
+    seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
                           max_seeds=shapes.max_smems, prev_cap=20)
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,

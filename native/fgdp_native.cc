@@ -576,3 +576,127 @@ int64_t encode_bam_records(const char* buf,
 }
 
 }  // extern "C"
+
+// --------------------------------------------------------------------------
+// Parallel BGZF compression (the capability of the reference's missing
+// htslib extensions bam_write_idx2/bgzf_flush2, sortmardup/main.cpp:406:
+// shards compress into independent gzip members that concatenate into a
+// valid BGZF stream). Blocks are compressed by a pthread pool directly
+// into fixed-stride slots of the output buffer, then compacted.
+// --------------------------------------------------------------------------
+
+#include <pthread.h>
+#include <zlib.h>
+#include <cstdlib>
+
+namespace {
+
+struct BgzfJob {
+    const char* data;
+    int64_t n;
+    int level;
+    int64_t n_blocks;
+    int64_t stride;
+    char* slots;
+    int32_t* sizes;         // compressed block size (full member) per block
+    int64_t next;           // atomic cursor
+    pthread_mutex_t lock;
+};
+
+const int64_t BGZF_MAX_BLOCK = 0xFF00;
+
+int compress_one(const char* src, int64_t ulen, int level, char* dst,
+                 int64_t cap) {
+    // header(18) + raw deflate + crc32 + isize
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+        return -1;
+    zs.next_in = (Bytef*)src;
+    zs.avail_in = (uInt)ulen;
+    zs.next_out = (Bytef*)(dst + 18);
+    zs.avail_out = (uInt)(cap - 26);
+    int ret = deflate(&zs, Z_FINISH);
+    int64_t clen = (int64_t)zs.total_out;
+    deflateEnd(&zs);
+    if (ret != Z_STREAM_END)
+        return -1;
+    int64_t bsize = clen + 18 + 8;
+    if (bsize > 0x10000)
+        return -1;
+    unsigned char hdr[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                             6, 0, 66, 67, 2, 0, 0, 0};
+    uint16_t bs16 = (uint16_t)(bsize - 1);
+    memcpy(hdr + 16, &bs16, 2);
+    memcpy(dst, hdr, 18);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, (const Bytef*)src, (uInt)ulen);
+    uint32_t isz = (uint32_t)ulen;
+    memcpy(dst + 18 + clen, &crc, 4);
+    memcpy(dst + 18 + clen + 4, &isz, 4);
+    return (int)bsize;
+}
+
+void* bgzf_worker(void* arg) {
+    BgzfJob* job = (BgzfJob*)arg;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int64_t b = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (b >= job->n_blocks)
+            return nullptr;
+        int64_t ustart = b * BGZF_MAX_BLOCK;
+        int64_t ulen = job->n - ustart;
+        if (ulen > BGZF_MAX_BLOCK) ulen = BGZF_MAX_BLOCK;
+        int sz = compress_one(job->data + ustart, ulen, job->level,
+                              job->slots + b * job->stride, job->stride);
+        job->sizes[b] = sz;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress data into a BGZF stream with nthreads workers. out must hold
+// n_blocks * stride bytes where stride >= 0x10000 + 64. Returns total
+// compressed bytes (blocks compacted at the front of out), and fills
+// coffsets[n_blocks+1] with compressed block start offsets. -1 on error.
+int64_t bgzf_compress_parallel(const char* data, int64_t n, int level,
+                               int nthreads, char* out, int64_t stride,
+                               int64_t* coffsets) {
+    int64_t n_blocks = n > 0 ? (n + BGZF_MAX_BLOCK - 1) / BGZF_MAX_BLOCK : 1;
+    BgzfJob job;
+    job.data = data;
+    job.n = n;
+    job.level = level;
+    job.n_blocks = n_blocks;
+    job.stride = stride;
+    job.slots = out;
+    job.sizes = (int32_t*)malloc(n_blocks * sizeof(int32_t));
+    job.next = 0;
+    pthread_mutex_init(&job.lock, nullptr);
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 64) nthreads = 64;
+    pthread_t tids[64];
+    int nt = (int)(nthreads < n_blocks ? nthreads : n_blocks);
+    for (int t = 0; t < nt; t++)
+        pthread_create(&tids[t], nullptr, bgzf_worker, &job);
+    for (int t = 0; t < nt; t++)
+        pthread_join(tids[t], nullptr);
+    pthread_mutex_destroy(&job.lock);
+    // compact
+    int64_t w = 0;
+    for (int64_t b = 0; b < n_blocks; b++) {
+        if (job.sizes[b] < 0) { free(job.sizes); return -1; }
+        coffsets[b] = w;
+        memmove(out + w, out + b * stride, job.sizes[b]);
+        w += job.sizes[b];
+    }
+    coffsets[n_blocks] = w;
+    free(job.sizes);
+    return w;
+}
+
+}  // extern "C"

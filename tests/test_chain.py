@@ -46,7 +46,7 @@ def test_chain_parity(rng):
     lens = np.full(B, L, np.int32)
     active = np.ones(B, bool)
 
-    seeds = collect_seeds(dfm, jnp.asarray(codes), jnp.asarray(lens),
+    seeds = collect_seeds(dfm, dref, jnp.asarray(codes), jnp.asarray(lens),
                           jnp.asarray(active), opt, max_seeds=128,
                           prev_cap=64)
     cb = chainmod.chain_seeds(dfm, dref, seeds, jnp.asarray(lens), opt,

@@ -82,3 +82,26 @@ def test_sam_numeric_native(lib, rng):
                   np.where(fwd, uc - out["lead_clip"],
                            uc + out["ref_len"] + out["tail_clip"] - 1))
     np.testing.assert_array_equal(p5, recs.prime5)
+
+
+def test_bgzf_parallel_roundtrip():
+    """Native pthread BGZF == Python BGZF semantics; decompresses back."""
+    from fgdp_tpu.io import bgzf, native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 255, 1_000_000, dtype=np.uint8).tobytes() + \
+        b"tail" * 1000
+    res = native.bgzf_compress(data, level=6, threads=4)
+    assert res is not None
+    comp, table = res
+    assert bgzf.decompress(comp) == data
+    # block table matches the serial layout semantics
+    _, ptable = bgzf.compress_stream(data, 6, threads=1)
+    assert [t[0] for t in table] == [t[0] for t in ptable]
+    assert [t[2] for t in table] == [t[2] for t in ptable]
+    # virtual offsets resolve identically by uncompressed position
+    vm = bgzf.VirtualOffsetMap(table)
+    v = vm.voffset(700_000)
+    blk = 700_000 // 0xFF00
+    assert v == (table[blk][1] << 16 | (700_000 - blk * 0xFF00))

@@ -19,7 +19,8 @@ def world():
     ref = rng.integers(0, 4, size=600, dtype=np.uint8)
     fm = FMIndex.build(ref)
     dfm = DeviceFMIndex.from_host(fm)
-    return rng, ref, fm, dfm
+    refc = jnp.asarray(ref, jnp.int32)
+    return rng, ref, fm, dfm, refc
 
 
 def make_reads(rng, ref, n_reads=24, L=48):
@@ -62,7 +63,7 @@ def seeds_to_sets(seeds, B):
 def test_scalar_oracle_matches_brute_force(world):
     """The transcription of the reference kernel must produce the textbook
     SMEM set (min_intv=1, no length filter)."""
-    rng, ref, fm, _ = world
+    rng, ref, fm, _, _ = world
     text = oracles.text_with_rc(ref)
     for _ in range(8):
         L = 20
@@ -76,7 +77,7 @@ def test_scalar_oracle_matches_brute_force(world):
 
 
 def test_device_k1_matches_scalar(world):
-    rng, ref, fm, dfm = world
+    rng, ref, fm, dfm, refc = world
     reads = make_reads(rng, ref)
     B, L = reads.shape
     codes = jnp.asarray(reads, jnp.int32)
@@ -84,8 +85,9 @@ def test_device_k1_matches_scalar(world):
     min_intv = jnp.ones(B, jnp.int32)
     active = jnp.ones(B, bool)
     min_seed_len = 10
-    seeds = smemops.smem_all_pos(dfm, codes, lens, min_intv, active,
-                                 min_seed_len, max_seeds=64, prev_cap=L + 2)
+    seeds = smemops.smem_all_pos(dfm, refc, len(ref), codes, lens,
+                                 min_intv, active, min_seed_len,
+                                 max_seeds=64, prev_cap=L + 2)
     got = seeds_to_sets(seeds, B)
     for b in range(B):
         ref_out = oracles.smem_all_pos_ref(fm, reads[b], 1, min_seed_len)
@@ -95,14 +97,15 @@ def test_device_k1_matches_scalar(world):
 
 def test_device_one_pos_matches_scalar_k2_params(world):
     """K2-style: varied anchors and min_intv per lane."""
-    rng, ref, fm, dfm = world
+    rng, ref, fm, dfm, refc = world
     reads = make_reads(rng, ref, n_reads=16)
     B, L = reads.shape
     x = rng.integers(0, L, size=B).astype(np.int32)
     mi = rng.integers(1, 6, size=B).astype(np.int32)
     seeds0 = smemops._empty_seeds(B, 64)
     seeds, next_x = smemops.smem_one_pos(
-        dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
+        dfm, refc, len(ref), jnp.asarray(reads, jnp.int32),
+        jnp.full(B, L, jnp.int32),
         jnp.asarray(x), jnp.asarray(mi), jnp.ones(B, bool),
         10, seeds0, prev_cap=L + 2)
     got = seeds_to_sets(seeds, B)
@@ -116,7 +119,7 @@ def test_device_one_pos_matches_scalar_k2_params(world):
 
 
 def test_device_k3_matches_scalar(world):
-    rng, ref, fm, dfm = world
+    rng, ref, fm, dfm, refc = world
     reads = make_reads(rng, ref)
     B, L = reads.shape
     seeds = smemops.seed_strategy(
@@ -131,12 +134,14 @@ def test_device_k3_matches_scalar(world):
 
 def test_full_collect_pipeline_matches(world):
     """K1+K2+K3 driver parity (mem_collect_smem semantics)."""
-    rng, ref, fm, dfm = world
+    rng, ref, fm, dfm, refc = world
     opt = AlignConfig(min_seed_len=10, max_mem_intv=20, split_width=10)
     reads = make_reads(rng, ref, n_reads=12)
     B, L = reads.shape
     from fgdp_tpu.align.seeding import collect_seeds
-    seeds = collect_seeds(dfm, jnp.asarray(reads, jnp.int32),
+    from fgdp_tpu.index.reference import DeviceReference, PackedReference
+    dref = DeviceReference(PackedReference.from_contigs(["c"], [ref]))
+    seeds = collect_seeds(dfm, dref, jnp.asarray(reads, jnp.int32),
                           jnp.full(B, L, jnp.int32), jnp.ones(B, bool), opt,
                           max_seeds=128, prev_cap=L + 2)
     got = seeds_to_sets(seeds, B)
