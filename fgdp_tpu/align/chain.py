@@ -84,9 +84,13 @@ def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
     owner = jnp.clip(owner, 0, S - 1).astype(jnp.int32)
     valid = t < jnp.minimum(total, P)[:, None]
     occ_idx = t - jnp.take_along_axis(base, owner, axis=1)
-    sa_row = jnp.take_along_axis(smems.k, owner, axis=1) + \
-        occ_idx * jnp.take_along_axis(step, owner, axis=1)
-    rbeg = fmops.sa_lookup(dfm, jnp.clip(sa_row, 0, dfm.sa.shape[0] - 1))
+    k_own = jnp.take_along_axis(smems.k, owner, axis=1)
+    sa_row = k_own + occ_idx * jnp.take_along_axis(step, owner, axis=1)
+    # k < -1 encodes a direct text position (-k - 2): single-suffix
+    # seeds from the SMEM fast path skip the SA round trip entirely
+    rbeg = jnp.where(
+        k_own < -1, -k_own - 2,
+        fmops.sa_lookup(dfm, jnp.clip(sa_row, 0, dfm.sa.shape[0] - 1)))
     qbeg = jnp.take_along_axis(smems.m, owner, axis=1)
     qend = jnp.take_along_axis(smems.n, owner, axis=1)
     slen = qend + 1 - qbeg

@@ -102,13 +102,17 @@ def cmd_mem(args):
 
 
 def cmd_sormadup(args):
-    from .sortdup.driver import sort_markdup
+    from .sortdup.driver import sort_markdup, sort_markdup_file
 
     t0 = time.time()
-    with (sys.stdin if args.input == "-" else open(args.input)) as f:
-        lines = f.read().splitlines()
-    n, ndup = sort_markdup(lines, args.output,
-                           compress_level=args.compress_level)
+    if args.input == "-":
+        lines = sys.stdin.read().splitlines()
+        n, ndup = sort_markdup(lines, args.output,
+                               compress_level=args.compress_level)
+    else:
+        # mmap-backed streaming path (inputs larger than RAM)
+        n, ndup = sort_markdup_file(args.input, args.output,
+                                    compress_level=args.compress_level)
     print(f"[sormadup] {n} records, {ndup} duplicate pairs, "
           f"{time.time()-t0:.1f}s -> {args.output}(.bai)", file=sys.stderr)
 

@@ -220,16 +220,33 @@ def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
 _BWD_TIERS = (8, 3)
 
 
-def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
-                 read_base, st, emit, prev_cap: int):
+def _bwd_eligible(st, min_intv):
+    """Lanes whose stack collapsed to one single-suffix entry: all
+    remaining backward steps are a text comparison (the stack collapses
+    quickly — once every entry's pattern is unique, the s==1 run dedups
+    to one entry)."""
+    return st["alive"] & (st["num_prev"] == 1) & \
+        (st["ps"][:, 0] == 1) & (min_intv == 1)
+
+
+def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
+                 min_seed_len, read_base, read_grid, st, emit,
+                 prev_cap: int):
     """Run the backward phase of getSMEMsOnePosOneThread
     (FMI_search.cpp:1262-1339) over independent lanes.
 
     read_base(j) -> int32[NL] base codes (4 = out of range / ambiguous);
+    read_grid(jt int32[NL, T]) -> int32[NL, T] likewise;
     st: dict(t, num_prev, pm, pn, pk, ps, alive, seeds);
     emit(seeds, mask, m, n, k, s) -> seeds. Returns the final st.
     The RC bound l is not tracked: the backward phase never forward-
     extends, so l is write-only here.
+
+    Lanes whose stack collapses to a single s==1 entry leave the loop
+    and finish analytically (single-suffix fast path): the emitted seed
+    carries the text position directly, encoded as k = -pos - 2
+    (consumers treat k < -1 as a direct position; the true rank would
+    need an inverse SA).
     """
     NL = st["num_prev"].shape[0]
 
@@ -238,7 +255,8 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
 
         def body(st):
             j = x - 1 - st["t"]
-            in_range = st["alive"] & (j >= 0)
+            stepping = st["alive"] & ~_bwd_eligible(st, min_intv)
+            in_range = stepping & (j >= 0)
             a = read_base(j)
             proc = in_range & (a < 4)
 
@@ -289,7 +307,8 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
                 pn=jnp.where(proc[:, None], npn, st["pn"]),
                 pk=jnp.where(proc[:, None], npk, st["pk"]),
                 ps=jnp.where(proc[:, None], nps, st["ps"]),
-                alive=proc & (ncount > 0),
+                alive=jnp.where(stepping, proc & (ncount > 0),
+                                st["alive"]),
                 seeds=seeds2,
             )
 
@@ -300,9 +319,10 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
         nxt = widths[i + 1] if i + 1 < len(widths) else 0
 
         def cond(st, nxt=nxt):
-            go = jnp.any(st["alive"]) & (st["t"] < L)
+            active = st["alive"] & ~_bwd_eligible(st, min_intv)
+            go = jnp.any(active) & (st["t"] < L)
             if nxt:
-                depth = jnp.max(jnp.where(st["alive"], st["num_prev"], 0))
+                depth = jnp.max(jnp.where(active, st["num_prev"], 0))
                 go &= depth > nxt
             return go
 
@@ -312,6 +332,27 @@ def _bwd_pyramid(fm: DeviceFMIndex, L, x, min_intv, min_seed_len,
             # lanes only ever contribute pm/pn/pk/ps[:, 0] afterwards
             for f in ("pm", "pn", "pk", "ps"):
                 st[f] = st[f][:, :nxt]
+
+    # ---- single-suffix epilogue: finish eligible lanes by direct
+    # leftward text comparison, one emission each ----
+    elig = _bwd_eligible(st, min_intv)
+    pm0 = st["pm"][:, 0]
+    pn0 = st["pn"][:, 0]
+    pos = fmops.sa_lookup(fm, st["pk"][:, 0])
+    tgrid = jnp.arange(L, dtype=jnp.int32)[None, :]
+    jt = pm0[:, None] - 1 - tgrid
+    rb = read_grid(jt)
+    tp = pos[:, None] - 1 - tgrid
+    tb = _text_base(ref_codes, l_pac, tp)
+    ok = (rb == tb) & (rb < 4) & (tb < 4)
+    lcp = jnp.argmax(~ok, axis=1).astype(jnp.int32)
+    pm_new = pm0 - lcp
+    do_emit = elig & (pn0 - pm_new + 1 >= min_seed_len)
+    k_enc = -(pos - lcp) - 2
+    st["seeds"] = emit(st["seeds"], do_emit, pm_new, pn0, k_enc,
+                       jnp.ones(NL, jnp.int32))
+    st["num_prev"] = jnp.where(elig, 0, st["num_prev"])
+    st["alive"] = st["alive"] & ~elig
     return st
 
 
@@ -351,8 +392,8 @@ def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
         alive=started & (fw["num_prev"] > 0),
         seeds=seeds._replace(overflow=seeds.overflow | fw["povf"]),
     )
-    st = _bwd_pyramid(fm, L, x, min_intv, min_seed_len,
-                      lambda j: _read_base(codes, j), bwd0,
+    st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
+                      lambda j: _read_base(codes, j), read_grid, bwd0,
                       _append_seed, P)
 
     # final emission: surviving prev[0] (FMI_search.cpp:1330-1339)
@@ -510,9 +551,9 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
         alive=started & (num_prev > 0),
         seeds=out0,
     )
-    st = _bwd_pyramid(fm, L, x, min_intv, min_seed_len,
-                      lambda j: _read_base_at(codes, ridx, j), bwd0,
-                      emit, P)
+    st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
+                      lambda j: _read_base_at(codes, ridx, j), read_grid,
+                      bwd0, emit, P)
 
     final = started & (st["num_prev"] > 0)
     fl = st["pn"][:, 0] - st["pm"][:, 0] + 1

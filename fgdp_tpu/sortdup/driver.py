@@ -155,15 +155,27 @@ def _write_bam(payload: bytes, offsets, out_bam_path, n_ref: int,
         fo.write(bai.tobytes())
 
 
-def _sort_markdup_native(data: bytes, header: SamHeader, out_bam_path,
-                         compress_level: int):
+def _sort_markdup_native(data, header: SamHeader, out_bam_path,
+                         compress_level: int, batch_records: int = 200_000):
     """Native fast path; returns (n_records, n_dups) or None if the
-    native library is unavailable."""
-    max_recs = data.count(b"\n") + 1
-    parsed = native.parse_sam_numeric(data, max_recs)
+    native library is unavailable.
+
+    `data` may be bytes or an mmap — pass 1 extracts only the numeric
+    key arrays (~100 B/record resident), pass 2 re-reads the mapped text
+    in sorted batches and streams BGZF blocks to disk, so inputs larger
+    than RAM sort within key-array memory (the role of the reference's
+    LZ4 spill files, sortmardup/tbb/BAMRecordBuffer.cpp, is played by
+    the page cache)."""
+    if isinstance(data, (bytes, bytearray)):
+        buf = data
+    else:
+        import ctypes
+        buf = (ctypes.c_char * len(data)).from_buffer(data)
+    max_recs = _count_lines(data) + 1
+    parsed = native.parse_sam_numeric(buf, max_recs)
     if parsed is None:
         return None
-    rp = native.assign_rid_pairid(data, parsed, header.names)
+    rp = native.assign_rid_pairid(buf, parsed, header.names)
     if rp is None:
         return None
     rid, pair_id = rp
@@ -185,24 +197,80 @@ def _sort_markdup_native(data: bytes, header: SamHeader, out_bam_path,
                          pair_id, ref_len) if n else np.zeros(0, np.int64)
     is_dup = np.isin(pair_id, dup_pids) if n else np.zeros(0, bool)
     order = _sort_order_np(ucoord) if n else np.zeros(0, np.int64)
-
     flags_out = np.where(is_dup, parsed["flag"] | FDUP,
                          parsed["flag"]).astype(np.int32)
-    enc = native.encode_bam_records(
-        data, parsed["line_start"][order], parsed["line_end"][order],
-        flags_out[order], header.names)
-    if enc is None:
-        return None
-    recs, rec_off, erid, epos, erlen = enc
+
+    # pass 2: encode + compress + index in sorted batches
     hdr = _sorted_header_bytes(header)
-    payload = hdr + recs
-    base = len(hdr)
-    offsets = [(int(erid[i]), int(epos[i]), int(epos[i]) + int(erlen[i]),
-                base + int(rec_off[i]), base + int(rec_off[i + 1]))
-               for i in range(len(erid))]
-    _write_bam(payload, offsets, out_bam_path, len(header.names),
-               compress_level)
+    bai = bamio.BaiBuilder(len(header.names))
+    u_off = 0     # uncompressed stream offset
+    c_off = 0     # compressed stream offset
+    with open(out_bam_path, "wb") as fo:
+        pending = hdr
+        for lo in range(0, max(n, 1), batch_records):
+            sel = order[lo:lo + batch_records]
+            if len(sel):
+                enc = native.encode_bam_records(
+                    buf, parsed["line_start"][sel],
+                    parsed["line_end"][sel], flags_out[sel], header.names)
+                if enc is None:
+                    return None
+                recs, rec_off, erid, epos, erlen = enc
+            else:
+                recs, rec_off, erid = b"", np.zeros(1, np.int64), []
+            payload = pending + recs
+            base = u_off + len(pending)
+            comp, table = bgzf.compress_stream(payload, compress_level)
+            vmap = bgzf.VirtualOffsetMap(
+                [(u + u_off, c, ul) for (u, c, ul) in table],
+                base_coff=c_off)
+            for i in range(len(erid)):
+                bai.add(int(erid[i]), int(epos[i]),
+                        int(epos[i]) + int(erlen[i]),
+                        vmap.voffset(base + int(rec_off[i])),
+                        vmap.voffset(base + int(rec_off[i + 1])))
+            fo.write(comp)
+            u_off += len(payload)
+            c_off += len(comp)
+            pending = b""
+        fo.write(bgzf.EOF_BLOCK)
+    with open(str(out_bam_path) + ".bai", "wb") as fo:
+        fo.write(bai.tobytes())
     return n, len(dup_pids)
+
+
+def _count_lines(data) -> int:
+    if isinstance(data, (bytes, bytearray)):
+        return data.count(b"\n")
+    n = 0
+    CH = 1 << 24
+    for i in range(0, len(data), CH):
+        n += data[i:i + CH].count(b"\n")
+    return n
+
+
+def sort_markdup_file(path, out_bam_path, compress_level: int = 6):
+    """Streaming sormadup over a SAM file on disk (mmap-backed)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        header_lines = []
+        while True:
+            ln = f.readline()
+            if not ln.startswith(b"@"):
+                break
+            header_lines.append(ln.decode().rstrip("\n"))
+        header = SamHeader.parse(header_lines)
+        # ACCESS_COPY: ctypes.from_buffer needs a writable view; pages
+        # stay file-backed copy-on-write and are never written
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_COPY) as mm:
+            res = _sort_markdup_native(mm, header, out_bam_path,
+                                       compress_level)
+            if res is not None:
+                return res
+            data = bytes(mm)
+    return sort_markdup(data.decode(errors="replace").splitlines(),
+                        out_bam_path, compress_level)
 
 
 def sort_markdup(sam_lines, out_bam_path, compress_level: int = 6):

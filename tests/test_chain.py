@@ -54,9 +54,17 @@ def test_chain_parity(rng):
     got = {k: np.asarray(v) for k, v in cb._asdict().items()}
     sm = {k: np.asarray(v) for k, v in seeds._asdict().items()}
 
+    # k < -1 encodes a direct position (single-suffix fast path); the
+    # scalar oracle wants true SA ranks — recover them via host ISA
+    isa = np.argsort(fm.sa, kind="stable")
+
+    def true_k(ki):
+        return int(isa[-ki - 2]) if ki < -1 else ki
+
     assert not got["overflow"].any()
     for b in range(B):
-        smems = [(int(sm["m"][b, i]), int(sm["n"][b, i]), int(sm["k"][b, i]),
+        smems = [(int(sm["m"][b, i]), int(sm["n"][b, i]),
+                  true_k(int(sm["k"][b, i])),
                   0, int(sm["s"][b, i])) for i in range(int(sm["count"][b]))]
         ref_chains = oracles.chain_seeds_ref(fm, pref, smems, opt)
         exp_fr = oracles.frac_rep_ref(smems, opt.max_occ, L)

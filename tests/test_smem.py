@@ -49,15 +49,28 @@ def make_reads(rng, ref, n_reads=24, L=48):
     return reads
 
 
-def seeds_to_sets(seeds, B):
+def seeds_to_sets(seeds, B, fm):
+    """Normalize seeds to (m, n, s, sorted SA positions): k may carry a
+    direct position encoding (k < -1 => -k - 2) from the single-suffix
+    fast path; positions are what downstream consumes."""
     out = []
     m, n, k, s = (np.asarray(seeds.m), np.asarray(seeds.n),
                   np.asarray(seeds.k), np.asarray(seeds.s))
     cnt = np.asarray(seeds.count)
     for b in range(B):
-        out.append(sorted((int(m[b, i]), int(n[b, i]), int(k[b, i]), int(s[b, i]))
-                          for i in range(cnt[b])))
+        rows = []
+        for i in range(cnt[b]):
+            ki, si = int(k[b, i]), int(s[b, i])
+            pos = (-ki - 2,) if ki < -1 else                 tuple(sorted(int(fm.sa[r]) for r in range(ki, ki + si)))
+            rows.append((int(m[b, i]), int(n[b, i]), si, pos))
+        out.append(sorted(rows))
     return out
+
+
+def oracle_to_sets(ref_out, fm):
+    return sorted((m, n, s,
+                   tuple(sorted(int(fm.sa[r]) for r in range(k, k + s))))
+                  for (m, n, k, l, s) in ref_out)
 
 
 def test_scalar_oracle_matches_brute_force(world):
@@ -88,10 +101,10 @@ def test_device_k1_matches_scalar(world):
     seeds = smemops.smem_all_pos(dfm, refc, len(ref), codes, lens,
                                  min_intv, active, min_seed_len,
                                  max_seeds=64, prev_cap=L + 2)
-    got = seeds_to_sets(seeds, B)
+    got = seeds_to_sets(seeds, B, fm)
     for b in range(B):
         ref_out = oracles.smem_all_pos_ref(fm, reads[b], 1, min_seed_len)
-        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        want = oracle_to_sets(ref_out, fm)
         assert got[b] == want, f"read {b}"
 
 
@@ -108,12 +121,12 @@ def test_device_one_pos_matches_scalar_k2_params(world):
         jnp.full(B, L, jnp.int32),
         jnp.asarray(x), jnp.asarray(mi), jnp.ones(B, bool),
         10, seeds0, prev_cap=L + 2)
-    got = seeds_to_sets(seeds, B)
+    got = seeds_to_sets(seeds, B, fm)
     nx = np.asarray(next_x)
     for b in range(B):
         ref_out, ref_nx = oracles.smem_one_pos_ref(fm, reads[b], int(x[b]),
                                                    int(mi[b]), 10)
-        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        want = oracle_to_sets(ref_out, fm)
         assert got[b] == want, f"read {b}"
         assert nx[b] == ref_nx, f"read {b} next_x"
 
@@ -125,10 +138,10 @@ def test_device_k3_matches_scalar(world):
     seeds = smemops.seed_strategy(
         dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
         jnp.ones(B, bool), max_intv=20, min_seed_len=11, max_seeds=64)
-    got = seeds_to_sets(seeds, B)
+    got = seeds_to_sets(seeds, B, fm)
     for b in range(B):
         ref_out = oracles.seed_strategy_ref(fm, reads[b], 20, 11)
-        want = sorted((m, n, k, s) for (m, n, k, l, s) in ref_out)
+        want = oracle_to_sets(ref_out, fm)
         assert got[b] == want, f"read {b}"
 
 
@@ -144,8 +157,8 @@ def test_full_collect_pipeline_matches(world):
     seeds = collect_seeds(dfm, dref, jnp.asarray(reads, jnp.int32),
                           jnp.full(B, L, jnp.int32), jnp.ones(B, bool), opt,
                           max_seeds=128, prev_cap=L + 2)
-    got = seeds_to_sets(seeds, B)
+    got = seeds_to_sets(seeds, B, fm)
     for b in range(B):
         k1, k2, k3 = oracles.collect_smems_ref(fm, reads[b], opt)
-        want = sorted((m, n, k, s) for (m, n, k, l, s) in k1 + k2 + k3)
+        want = oracle_to_sets(k1 + k2 + k3, fm)
         assert got[b] == want, f"read {b}"

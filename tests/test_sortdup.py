@@ -123,3 +123,40 @@ def test_native_python_bam_identical(rng, tmp_path):
     assert b1.read_bytes() == b2.read_bytes()
     assert (tmp_path / "native.bam.bai").read_bytes() == \
         (tmp_path / "python.bam.bai").read_bytes()
+
+
+def test_sort_markdup_file_streaming(rng, tmp_path):
+    """mmap-backed file path == in-memory path, byte for byte, including
+    multi-batch pass-2 (small batch_records forces several batches)."""
+    from fgdp_tpu.io import native
+    from fgdp_tpu.io.sam import SamHeader
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    lines = HEADER + _random_sam(rng, n_pairs=50, n_singles=10)
+    sam = tmp_path / "in.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    b1 = tmp_path / "stream.bam"
+    b2 = tmp_path / "mem.bam"
+    n1 = driver.sort_markdup_file(sam, b1)
+    n2 = driver.sort_markdup(lines, b2)
+    assert n1 == n2
+    assert b1.read_bytes() == b2.read_bytes()
+    assert (tmp_path / "stream.bam.bai").read_bytes() == \
+        (tmp_path / "mem.bam.bai").read_bytes()
+    # multi-batch: force 4 batches through the same pipeline
+    import mmap
+    with open(sam, "rb") as f:
+        hdr_lines = []
+        while True:
+            ln = f.readline()
+            if not ln.startswith(b"@"):
+                break
+            hdr_lines.append(ln.decode().rstrip("\n"))
+        header = SamHeader.parse(hdr_lines)
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_COPY) as mm:
+            b3 = tmp_path / "batched.bam"
+            driver._sort_markdup_native(mm, header, b3, 6,
+                                        batch_records=40)
+    # batch boundaries change BGZF block layout (and hence voffsets);
+    # the decoded content must be identical
+    assert bamio.read_bam(b3) == bamio.read_bam(b2)
