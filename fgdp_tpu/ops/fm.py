@@ -3,11 +3,18 @@
 The reference extends ONE bi-interval per call with SSE popcounts
 (bwa-mem2-lcp/src/bwt.cpp:278-1065, ext/TAL FMI_search.cpp backwardExt
 :1841). The TPU design instead extends a whole batch of intervals per
-step: each occ lookup is a 2-gather from the HBM-resident checkpoint
-tables, and the within-block rank is a vectorized 2-bit compare +
-`lax.population_count` on the VPU — every lane of the batch advances one
-step per call. Seeding drivers in ops/smem.py chain these steps under
+step: each occ lookup is a gather from the HBM-resident fused checkpoint
+rows, and the within-block rank is a vectorized 2-bit compare +
+`lax.population_count` on the VPU — every lane of the batch advances per
+call. Seeding drivers in ops/smem.py chain these steps under
 `lax.while_loop` with active-lane masking.
+
+Two-step ("lambert") extension: one fused row holds single-char AND
+dinucleotide checkpoints plus both packed BWT columns (B, B1), so the
+same two gathers that answer a 1-step extension also answer the 2-step
+extension — the TPU analogue of the fork's Occline + forward/
+backwardExtensionTwoStep kernels (src/bwt.h:64-67, src/bwt.cpp:278-1065).
+The dependent-gather chain of SMEM search halves.
 
 All interval coordinates are int32 (valid while text < 2^31; larger
 references are sharded — see parallel/).
@@ -23,70 +30,167 @@ import numpy as np
 
 from ..index.fmindex import FMIndex, OCC_BLOCK
 
-assert OCC_BLOCK == 16, "device kernels assume one uint32 word per block"
+assert OCC_BLOCK == 32, "device kernels assume two uint32 words per block"
 
 _EVEN = np.uint32(0x55555555)
+_FULL = np.uint32(0xFFFFFFFF)
 
 
 class DeviceFMIndex(NamedTuple):
     """FM-index arrays resident in HBM. See index/fmindex.py for layout.
 
-    The checkpoint counts and the packed BWT word of each block are fused
-    into ONE row (cols 0-3 counts, col 4 word) so every rank query costs a
-    single gather row — XLA/TPU gathers are row-count-bound, and random
-    HBM gathers are the dominant cost of FM search (SURVEY §7.3 #1).
+    occ_fused row (24 x int32 per 32-suffix block): cols 0-3 single-char
+    cumulative counts, 4-19 dinucleotide cumulative counts, 20-21 packed
+    B words, 22-23 packed B1 words. One gather row answers every rank
+    query an extension needs — XLA/TPU gathers are row-count-bound, and
+    random HBM gathers are the dominant cost of FM search (SURVEY §7.3).
     """
 
     counts: jax.Array        # int32[5]   C array (sentinel rank 0)
-    occ_fused: jax.Array     # int32[nblocks, 8]: [c0..c3, word, pad x3]
+    c2: jax.Array            # int32[17]  dinucleotide first-row array
+    occ_fused: jax.Array     # int32[nblocks, 24]
     sa: jax.Array            # int32[N]   full suffix array
-    sentinel_row: jax.Array  # int32 scalar
+    sentinel_row: jax.Array  # int32 scalar (r0: B packs $ as code 0)
+    r1_row: jax.Array        # int32 scalar (B1 packs $ as code 0)
+    cc_r0: jax.Array         # int32 scalar: spurious pair code at r0
+    cc_r1: jax.Array         # int32 scalar: spurious pair code at r1
     n_ref: jax.Array         # int32 scalar (forward reference length)
     text_len: jax.Array      # int32 scalar N = 2*n_ref + 1
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFMIndex":
-        import numpy as _np
         nblocks = fm.occ.shape[0]
-        fused = _np.zeros((nblocks, 8), _np.int32)
+        fused = np.zeros((nblocks, 24), np.int32)
         fused[:, :4] = fm.occ
-        fused[:, 4] = fm.bwt_words.view(_np.int32)
+        fused[:, 4:20] = fm.occ2
+        fused[:, 20:22] = fm.bwt_words.view(np.int32)
+        fused[:, 22:24] = fm.bwt1_words.view(np.int32)
         return cls(
             counts=jnp.asarray(fm.counts, jnp.int32),
+            c2=jnp.asarray(fm.c2, jnp.int32),
             occ_fused=jnp.asarray(fused),
             sa=jnp.asarray(fm.sa, jnp.int32),
             sentinel_row=jnp.int32(fm.sentinel_row),
+            r1_row=jnp.int32(fm.r1_row),
+            cc_r0=jnp.int32(fm.cc_r0),
+            cc_r1=jnp.int32(fm.cc_r1),
             n_ref=jnp.int32(fm.n_ref),
             text_len=jnp.int32(fm.text_len),
         )
 
 
-def occ4(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
-    """Occ(c, i) for all four bases at once; i int32[...] -> int32[..., 4].
+def _sel(b0, b1, c):
+    """Bit mask (even positions) of codes == c in a packed word, from its
+    precomputed low/high bitplanes."""
+    m0 = b0 if (c & 1) else ~b0
+    m1 = b1 if (c & 2) else ~b1
+    return m0 & m1 & _EVEN
 
-    One fused checkpoint-row gather per position; the four per-base
-    in-block ranks come from the row's word via masked popcounts.
-    """
+
+def _prefix_masks(rem):
+    """Per-word in-block prefix masks for rem in [0, 32]: bits of code
+    slots < rem. Returns (mask_w0, mask_w1) uint32."""
+    rem = rem.astype(jnp.int32)
+    b0 = jnp.clip(rem, 0, 16).astype(jnp.uint32)
+    b1 = jnp.clip(rem - 16, 0, 16).astype(jnp.uint32)
+
+    def mk(bits):
+        return jnp.where(bits >= 16, _FULL,
+                         (jnp.uint32(1) << (bits << 1)) - jnp.uint32(1))
+
+    return mk(b0), mk(b1)
+
+
+class _RowRanks(NamedTuple):
+    """Decoded fused checkpoint row at position i (everything an
+    extension needs from one gather)."""
+
+    occ1: jax.Array          # int32[..., 4]  sentinel-corrected
+    occ2c: jax.Array         # int32[..., 4]  pairs (c1, c2fix), c1 = 0..3
+    i: jax.Array
+
+
+def _fetch(fm: DeviceFMIndex, i, c2fix):
+    """Gather + decode the checkpoint row at i. occ1 for all 4 chars;
+    occ2 for the 4 dinucleotides whose SECOND char is c2fix (the only
+    column a 2-step extension ever needs: backward fixes c2 = the first
+    prepended char, forward fixes c2 = 3 - first appended char)."""
     i = i.astype(jnp.int32)
-    blk = i >> 4
-    rem = (i & 15).astype(jnp.uint32)
-    row = jnp.take(fm.occ_fused, blk, axis=0, mode="clip")     # (..., 8)
-    base = row[..., :4]
-    word = row[..., 4].astype(jnp.uint32)
-    b0 = word & _EVEN
-    b1 = (word >> 1) & _EVEN
-    prefix = (jnp.uint32(1) << (rem << 1)) - jnp.uint32(1)     # bits of codes < rem
-    cnts = []
-    for c in range(4):
-        m0 = b0 if (c & 1) else ~b0
-        m1 = b1 if (c & 2) else ~b1
-        m = m0 & m1 & _EVEN & prefix
-        cnts.append(jax.lax.population_count(m).astype(jnp.int32))
-    inblock = jnp.stack(cnts, axis=-1)
-    out = base + inblock
-    # the sentinel is packed as code 0; uncount it left of position i
+    blk = i >> 5
+    rem = (i & 31).astype(jnp.uint32)
+    row = jnp.take(fm.occ_fused, blk, axis=0, mode="clip")     # (..., 24)
+    base1 = row[..., :4]
+    base2 = row[..., 4:20]
+    words = row[..., 20:24].astype(jnp.uint32)
+    p0, p1 = _prefix_masks(rem)
+    planes = []
+    for w in range(4):
+        ww = words[..., w]
+        planes.append((ww & _EVEN, (ww >> 1) & _EVEN))
+    pref = (p0, p1)
+
+    def popc2(mask_fn):
+        tot = jnp.zeros(i.shape, jnp.int32)
+        for w in range(2):
+            m = mask_fn(w) & pref[w]
+            tot = tot + jax.lax.population_count(m).astype(jnp.int32)
+        return tot
+
+    # occ1: rank of each char in B
+    cnts = [popc2(lambda w, c=c: _sel(planes[w][0], planes[w][1], c))
+            for c in range(4)]
+    occ1 = base1 + jnp.stack(cnts, axis=-1)
     sent_fix = (i > fm.sentinel_row).astype(jnp.int32)
-    return out.at[..., 0].add(-sent_fix)
+    occ1 = occ1.at[..., 0].add(-sent_fix)
+
+    # occ2: pairs (c1, c2fix) — B mask for c2fix AND B1 mask for c1
+    c2fix = jnp.clip(c2fix, 0, 3).astype(jnp.int32)
+    oh2 = (jnp.arange(4, dtype=jnp.int32) == c2fix[..., None])
+    mB = []
+    for w in range(2):
+        opts = jnp.stack(
+            [_sel(planes[w][0], planes[w][1], c) for c in range(4)],
+            axis=-1)
+        mB.append(jnp.sum(jnp.where(oh2, opts, jnp.uint32(0)), axis=-1))
+    cnts2 = [popc2(lambda w, c1=c1: mB[w]
+                   & _sel(planes[w + 2][0], planes[w + 2][1], c1))
+             for c1 in range(4)]
+    ccs = jnp.arange(4, dtype=jnp.int32)[None, :] * 4 + c2fix[..., None]
+    base2sel = jnp.sum(
+        jnp.where(ccs[..., None] == jnp.arange(16, dtype=jnp.int32),
+                  base2[..., None, :], 0), axis=-1)
+    occ2c = base2sel + jnp.stack(cnts2, axis=-1)
+    # subtract the spurious sentinel pairs (r0: B=$ packed 0; r1: B1=$)
+    fix0 = ((ccs == fm.cc_r0) & (i > fm.sentinel_row)[..., None])
+    fix1 = ((ccs == fm.cc_r1) & (i > fm.r1_row)[..., None])
+    occ2c = occ2c - fix0.astype(jnp.int32) - fix1.astype(jnp.int32)
+    return _RowRanks(occ1=occ1, occ2c=occ2c, i=i)
+
+
+def occ4(fm: DeviceFMIndex, i: jax.Array) -> jax.Array:
+    """Occ(c, i) for all four bases at once; i int32[...] -> int32[..., 4]."""
+    return _fetch(fm, i, jnp.zeros(jnp.shape(i), jnp.int32)).occ1
+
+
+def _pick(v, c):
+    """v[..., c] for dynamic c via one-hot select (no gather)."""
+    oh = jnp.arange(v.shape[-1], dtype=jnp.int32) == c[..., None]
+    return jnp.sum(jnp.where(oh, v, 0), axis=-1)
+
+
+def _bwd_from_ranks(fm, lo: _RowRanks, hi: _RowRanks, l, c):
+    """backward_extend given decoded rows at k and k+s."""
+    sizes = hi.occ1 - lo.occ1
+    sent_in = ((lo.i <= fm.sentinel_row)
+               & (fm.sentinel_row < hi.i)).astype(jnp.int32)
+    l3 = l + sent_in
+    l2 = l3 + sizes[..., 3]
+    l1 = l2 + sizes[..., 2]
+    l0 = l1 + sizes[..., 1]
+    ls = jnp.stack([l0, l1, l2, l3], axis=-1)
+    cc = jnp.clip(c, 0, 3).astype(jnp.int32)
+    new_k = jnp.take(fm.counts, cc) + _pick(lo.occ1, cc)
+    return new_k, _pick(ls, cc), _pick(sizes, cc)
 
 
 def backward_extend(fm: DeviceFMIndex, k, l, s, c):
@@ -99,21 +203,31 @@ def backward_extend(fm: DeviceFMIndex, k, l, s, c):
     """
     k = k.astype(jnp.int32)
     s = s.astype(jnp.int32)
-    occ_lo = occ4(fm, k)
-    occ_hi = occ4(fm, k + s)
-    sizes = occ_hi - occ_lo                                    # (..., 4)
-    sent_in = ((k <= fm.sentinel_row) & (fm.sentinel_row < k + s)).astype(jnp.int32)
-    l3 = l + sent_in
-    l2 = l3 + sizes[..., 3]
-    l1 = l2 + sizes[..., 2]
-    l0 = l1 + sizes[..., 1]
-    ls = jnp.stack([l0, l1, l2, l3], axis=-1)
     cc = jnp.clip(c, 0, 3).astype(jnp.int32)
-    new_k = jnp.take(fm.counts, cc) + jnp.take_along_axis(
-        occ_lo, cc[..., None], axis=-1)[..., 0]
-    new_l = jnp.take_along_axis(ls, cc[..., None], axis=-1)[..., 0]
-    new_s = jnp.take_along_axis(sizes, cc[..., None], axis=-1)[..., 0]
-    return new_k, new_l, new_s
+    lo = _fetch(fm, k, cc)
+    hi = _fetch(fm, k + s, cc)
+    return _bwd_from_ranks(fm, lo, hi, l, cc)
+
+
+def backward_extend2(fm: DeviceFMIndex, k, s, c2, c1):
+    """Prepend base c2, then base c1 (pattern P -> c1 c2 P), from the
+    same two gathers — the fork's backwardExtensionTwoStepFs
+    (src/bwt.cpp:822-1065). No RC bound is produced (dead in the
+    backward SMEM phase). Returns (k1, s1, k2, s2): the intermediate
+    interval after c2 and the final after c1 c2.
+    """
+    k = k.astype(jnp.int32)
+    s = s.astype(jnp.int32)
+    cc2 = jnp.clip(c2, 0, 3).astype(jnp.int32)
+    cc1 = jnp.clip(c1, 0, 3).astype(jnp.int32)
+    lo = _fetch(fm, k, cc2)
+    hi = _fetch(fm, k + s, cc2)
+    k1 = jnp.take(fm.counts, cc2) + _pick(lo.occ1, cc2)
+    s1 = _pick(hi.occ1, cc2) - _pick(lo.occ1, cc2)
+    pair = cc1 * 4 + cc2
+    k2 = jnp.take(fm.c2, pair) + _pick(lo.occ2c, cc1)
+    s2 = _pick(hi.occ2c, cc1) - _pick(lo.occ2c, cc1)
+    return k1, s1, k2, s2
 
 
 def forward_extend(fm: DeviceFMIndex, k, l, s, c):
@@ -121,6 +235,39 @@ def forward_extend(fm: DeviceFMIndex, k, l, s, c):
     reverse-complement interval with k/l swapped (FMI_search.cpp:1218-1227)."""
     bk, bl, bs = backward_extend(fm, l, k, s, 3 - jnp.clip(c, 0, 3))
     return bl, bk, bs
+
+
+def forward_extend2(fm: DeviceFMIndex, k, l, s, ca, cb):
+    """Append base ca, then cb (pattern P -> P·ca·cb), from the same two
+    gathers — the fork's forwardExtensionTwoStepFsRs (src/bwt.cpp:278-649).
+    Returns ((k1, l1, s1), (k2, l2, s2)): intermediate and final
+    bi-intervals."""
+    k = k.astype(jnp.int32)
+    l = l.astype(jnp.int32)
+    s = s.astype(jnp.int32)
+    ca3 = 3 - jnp.clip(ca, 0, 3).astype(jnp.int32)   # RC of first char
+    cb3 = 3 - jnp.clip(cb, 0, 3).astype(jnp.int32)
+    lo = _fetch(fm, l, ca3)
+    hi = _fetch(fm, l + s, ca3)
+    # intermediate: backward extension on the RC side by 3-ca
+    bl1, bk1, s1 = _bwd_from_ranks(fm, lo, hi, k, ca3)
+    # (bl1 = new l-coordinate start, bk1 = new k) after the swap:
+    k1, l1 = bk1, bl1
+    # final: 2-step prepend (3-cb)(3-ca) on the RC side
+    pair = cb3 * 4 + ca3
+    l2 = jnp.take(fm.c2, pair) + _pick(lo.occ2c, cb3)
+    s2fwd_rc = hi.occ2c - lo.occ2c        # indexed by c1 = 3-d'
+    s2 = _pick(s2fwd_rc, cb3)
+    # forward sub-partition of [k1, k1+s1): '$' continuation first, then
+    # increasing continuation char d' (= reversed c1 order)
+    s2fwd = s2fwd_rc[..., ::-1]           # indexed by d'
+    end2 = s1 - jnp.sum(s2fwd, axis=-1)
+    cbc = jnp.clip(cb, 0, 3).astype(jnp.int32)
+    before = jnp.sum(
+        jnp.where(jnp.arange(4, dtype=jnp.int32) < cbc[..., None],
+                  s2fwd, 0), axis=-1)
+    k2 = k1 + end2 + before
+    return (k1, l1, s1), (k2, l2, s2)
 
 
 def init_interval(fm: DeviceFMIndex, c):

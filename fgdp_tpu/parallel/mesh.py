@@ -90,7 +90,11 @@ def shard_index(mesh: Mesh, dfm, axis: str = "fm"):
         occ_fused=jax.device_put(_pad_rows(dfm.occ_fused, ways), row),
         sa=jax.device_put(_pad_rows(dfm.sa, ways), row),
         counts=jax.device_put(dfm.counts, rep),
+        c2=jax.device_put(dfm.c2, rep),
         sentinel_row=jax.device_put(dfm.sentinel_row, rep),
+        r1_row=jax.device_put(dfm.r1_row, rep),
+        cc_r0=jax.device_put(dfm.cc_r0, rep),
+        cc_r1=jax.device_put(dfm.cc_r1, rep),
         n_ref=jax.device_put(dfm.n_ref, rep),
         text_len=jax.device_put(dfm.text_len, rep),
     )

@@ -88,3 +88,69 @@ def test_save_load_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(fm2.sa, fm.sa)
     np.testing.assert_array_equal(fm2.occ, fm.occ)
     np.testing.assert_array_equal(fm2.bwt_words, fm.bwt_words)
+
+
+def test_two_step_extension_matches_sequential(rng):
+    """backward_extend2 / forward_extend2 (the fork's lbwt 2-step kernels,
+    src/bwt.cpp:278-1065) == two sequential 1-step extensions, host and
+    device."""
+    import jax.numpy as jnp
+    from fgdp_tpu.ops import fm as fmops
+
+    ref = random_ref(rng, 600)
+    fm = FMIndex.build(ref)
+    dfm = fmops.DeviceFMIndex.from_host(fm)
+
+    ks, ls, ss, cas, cbs = [], [], [], [], []
+    want_b, want_f = [], []
+    for _ in range(200):
+        p0 = int(rng.integers(0, len(ref) - 6))
+        pat = ref[p0:p0 + int(rng.integers(1, 5))]
+        k, l, s = fm.init_interval(int(pat[-1]))
+        for c in pat[-2::-1]:
+            k, l, s = fm.backward_extend(k, l, s, int(c))
+            if s == 0:
+                break
+        if s == 0:
+            continue
+        ca, cb = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        # backward: prepend cb then ca
+        ka, la, sa_ = fm.backward_extend(k, l, s, cb)
+        sb = 0
+        kb = -1
+        if sa_ > 0:
+            kb, _, sb = fm.backward_extend(ka, la, sa_, ca)
+        assert fm.backward_extend2(k, s, ca, cb)[1] == sb
+        # forward: append ca then cb
+        (i1), (i2) = fm.forward_extend2(k, l, s, ca, cb)
+        kf, lf, sf = fm.forward_extend(k, l, s, ca)
+        assert i1 == (kf, lf, sf)
+        if sf > 0:
+            assert i2[2] == fm.forward_extend(kf, lf, sf, cb)[2]
+        ks.append(k); ls.append(l); ss.append(s); cas.append(ca); cbs.append(cb)
+        want_b.append((ka, sa_, kb if sb > 0 else 0, sb))
+        want_f.append((i1, i2))
+
+    k = jnp.asarray(ks, jnp.int32)
+    l = jnp.asarray(ls, jnp.int32)
+    s = jnp.asarray(ss, jnp.int32)
+    ca = jnp.asarray(cas, jnp.int32)
+    cb = jnp.asarray(cbs, jnp.int32)
+    k1, s1, k2, s2 = (np.asarray(v) for v in
+                      fmops.backward_extend2(dfm, k, s, cb, ca))
+    wb = np.asarray(want_b)
+    np.testing.assert_array_equal(k1, wb[:, 0])
+    np.testing.assert_array_equal(s1, wb[:, 1])
+    np.testing.assert_array_equal(s2, wb[:, 3])
+    live = wb[:, 3] > 0
+    np.testing.assert_array_equal(k2[live], wb[live, 2])
+    (dk1, dl1, ds1), (dk2, dl2, ds2) = fmops.forward_extend2(dfm, k, l, s,
+                                                             ca, cb)
+    wf1 = np.asarray([w[0] for w in want_f])
+    wf2 = np.asarray([w[1] for w in want_f])
+    got1 = np.stack([np.asarray(dk1), np.asarray(dl1), np.asarray(ds1)], 1)
+    got2 = np.stack([np.asarray(dk2), np.asarray(dl2), np.asarray(ds2)], 1)
+    np.testing.assert_array_equal(got1, wf1)
+    np.testing.assert_array_equal(got2[:, 2], wf2[:, 2])
+    live = wf2[:, 2] > 0
+    np.testing.assert_array_equal(got2[live], wf2[live])
