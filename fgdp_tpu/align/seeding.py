@@ -50,6 +50,10 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # anchors per read the sequential frontier does far fewer speculative
     # gathers than the anchor-parallel discovery pass (smem_all_pos vs
     # anchor_next_x — the latter remains for dense-anchor inputs). ---
+    # two_step (lambert 2-chars-per-gather-pair) wins at the pipeline's
+    # prev_cap=20 for both K1 and K2 (v5e: 433 -> 359 ms/1024 reads);
+    # at wide prev_cap=64 the one-step K1 body is faster — the flag
+    # stays per-call for that reason.
     seeds = smemops.smem_all_pos(dfm, dref.codes, dref.l_pac, codes, lens,
                                  jnp.ones(B, jnp.int32), active,
                                  opt.min_seed_len, max_seeds, prev_cap)

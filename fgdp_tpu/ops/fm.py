@@ -209,6 +209,46 @@ def backward_extend(fm: DeviceFMIndex, k, l, s, c):
     return _bwd_from_ranks(fm, lo, hi, l, cc)
 
 
+def _sel_dyn(b0, b1, c):
+    """Bit mask (even positions) of codes == c for a DYNAMIC char c
+    (broadcast against the bitplanes): XOR flips planes where the target
+    bit is 0, so matches become set bits."""
+    e0 = jnp.where((c & 1) == 1, jnp.uint32(0), _EVEN)
+    e1 = jnp.where((c & 2) == 2, jnp.uint32(0), _EVEN)
+    return (b0 ^ e0) & (b1 ^ e1) & _EVEN
+
+
+def _fetch_pair(fm: DeviceFMIndex, i, c2, pair):
+    """Lean row decode for the backward direction: only Occ(c2, i) and
+    Occ2((c1, c2), i) — four masked popcounts per position instead of
+    the full 16 of _fetch. Returns (occ1_c2, occ2_pair)."""
+    i = i.astype(jnp.int32)
+    blk = i >> 5
+    rem = (i & 31).astype(jnp.uint32)
+    row = jnp.take(fm.occ_fused, blk, axis=0, mode="clip")
+    base1 = _pick(row[..., :4], c2)
+    base2 = _pick(row[..., 4:20], pair)
+    words = row[..., 20:24].astype(jnp.uint32)
+    p0, p1 = _prefix_masks(rem)
+    pref = (p0, p1)
+    c1 = pair >> 2
+    n1 = jnp.zeros(i.shape, jnp.int32)
+    n2 = jnp.zeros(i.shape, jnp.int32)
+    for w in range(2):
+        ww = words[..., w]
+        mB = _sel_dyn(ww & _EVEN, (ww >> 1) & _EVEN, c2)
+        w1 = words[..., w + 2]
+        mB1 = _sel_dyn(w1 & _EVEN, (w1 >> 1) & _EVEN, c1)
+        n1 = n1 + jax.lax.population_count(mB & pref[w]).astype(jnp.int32)
+        n2 = n2 + jax.lax.population_count(mB & mB1
+                                           & pref[w]).astype(jnp.int32)
+    occ1 = base1 + n1 - ((c2 == 0) & (i > fm.sentinel_row)).astype(jnp.int32)
+    occ2 = base2 + n2 \
+        - ((pair == fm.cc_r0) & (i > fm.sentinel_row)).astype(jnp.int32) \
+        - ((pair == fm.cc_r1) & (i > fm.r1_row)).astype(jnp.int32)
+    return occ1, occ2
+
+
 def backward_extend2(fm: DeviceFMIndex, k, s, c2, c1):
     """Prepend base c2, then base c1 (pattern P -> c1 c2 P), from the
     same two gathers — the fork's backwardExtensionTwoStepFs
@@ -220,13 +260,13 @@ def backward_extend2(fm: DeviceFMIndex, k, s, c2, c1):
     s = s.astype(jnp.int32)
     cc2 = jnp.clip(c2, 0, 3).astype(jnp.int32)
     cc1 = jnp.clip(c1, 0, 3).astype(jnp.int32)
-    lo = _fetch(fm, k, cc2)
-    hi = _fetch(fm, k + s, cc2)
-    k1 = jnp.take(fm.counts, cc2) + _pick(lo.occ1, cc2)
-    s1 = _pick(hi.occ1, cc2) - _pick(lo.occ1, cc2)
     pair = cc1 * 4 + cc2
-    k2 = jnp.take(fm.c2, pair) + _pick(lo.occ2c, cc1)
-    s2 = _pick(hi.occ2c, cc1) - _pick(lo.occ2c, cc1)
+    o1lo, o2lo = _fetch_pair(fm, k, cc2, pair)
+    o1hi, o2hi = _fetch_pair(fm, k + s, cc2, pair)
+    k1 = jnp.take(fm.counts, cc2) + o1lo
+    s1 = o1hi - o1lo
+    k2 = jnp.take(fm.c2, pair) + o2lo
+    s2 = o2hi - o2lo
     return k1, s1, k2, s2
 
 

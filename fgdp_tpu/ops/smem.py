@@ -100,7 +100,7 @@ def _text_base(ref_codes, l_pac, p):
 
 
 def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
-               read_base, read_grid, started, P):
+               read_base, read_grid, started, P, two_step: bool = True):
     """Forward phase of getSMEMsOnePosOneThread (FMI_search.cpp:1201-1260)
     over independent lanes, with a single-suffix fast path.
 
@@ -132,20 +132,18 @@ def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
     def fwd_cond(st):
         return jnp.any(st["alive"] & (st["s"] > 1)) & (st["t"] < L)
 
-    def fwd_body(st):
+    def fwd_body_1step(st):
         j = x + 1 + st["t"]
         stepping = st["alive"] & (st["s"] > 1)
         in_range = stepping & (j < lens_l)
         a = read_base(j)
         ext = in_range & (a < 4)
         nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
-        changed = ns != st["s"]
-        push = ext & changed
+        push = ext & (ns != st["s"])
         povf = st["povf"] | (push & (st["num_prev"] >= P))
         pm, pn, pk, ps, num_prev = _prev_push(
             st["pm"], st["pn"], st["pk"], st["ps"],
             st["num_prev"], push, P, x, st["n"], st["k"], st["s"])
-
         die = ext & (ns < min_intv)
         take = ext & ~die
         next_x = jnp.where(in_range, j + 1, st["next_x"])
@@ -162,7 +160,61 @@ def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
             povf=povf,
         )
 
-    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd0)
+    def fwd_body(st):
+        # two-step ("lambert") extension: chars j0, j1 resolve from the
+        # same two checkpoint gathers (fm.forward_extend2); the two
+        # sequential sub-steps are replayed exactly on the results
+        j0 = x + 1 + st["t"]
+        j1 = j0 + 1
+        stepping = st["alive"] & (st["s"] > 1)
+        a0 = read_base(j0)
+        a1 = read_base(j1)
+        (k1, l1, s1), (k2, l2, s2) = fmops.forward_extend2(
+            fm, st["k"], st["l"], st["s"], a0, a1)
+
+        # ---- sub-step 0: char a0 at j0 ----
+        in_range0 = stepping & (j0 < lens_l)
+        ext0 = in_range0 & (a0 < 4)
+        push0 = ext0 & (s1 != st["s"])
+        povf = st["povf"] | (push0 & (st["num_prev"] >= P))
+        pm, pn, pk, ps, num_prev = _prev_push(
+            st["pm"], st["pn"], st["pk"], st["ps"],
+            st["num_prev"], push0, P, x, st["n"], st["k"], st["s"])
+        die0 = ext0 & (s1 < min_intv)
+        take0 = ext0 & ~die0
+        next_x = jnp.where(in_range0, j0 + 1, st["next_x"])
+        next_x = jnp.where(die0, j0, next_x)
+        kA = jnp.where(take0, k1, st["k"])
+        lA = jnp.where(take0, l1, st["l"])
+        sA = jnp.where(take0, s1, st["s"])
+        nA = jnp.where(take0, j0, st["n"])
+        aliveA = jnp.where(stepping, take0, st["alive"])
+
+        # ---- sub-step 1: char a1 at j1 (only lanes that took a0) ----
+        in_range1 = take0 & (j1 < lens_l)
+        ext1 = in_range1 & (a1 < 4)
+        push1 = ext1 & (s2 != sA)
+        povf = povf | (push1 & (num_prev >= P))
+        pm, pn, pk, ps, num_prev = _prev_push(
+            pm, pn, pk, ps, num_prev, push1, P, x, nA, kA, sA)
+        die1 = ext1 & (s2 < min_intv)
+        take1 = ext1 & ~die1
+        next_x = jnp.where(in_range1, j1 + 1, next_x)
+        next_x = jnp.where(die1, j1, next_x)
+        return dict(
+            t=st["t"] + 2,
+            k=jnp.where(take1, k2, kA),
+            l=jnp.where(take1, l2, lA),
+            s=jnp.where(take1, s2, sA),
+            n=jnp.where(take1, j1, nA),
+            num_prev=num_prev, pm=pm, pn=pn, pk=pk, ps=ps,
+            next_x=next_x,
+            alive=jnp.where(take0, take1, aliveA),
+            povf=povf,
+        )
+
+    st = jax.lax.while_loop(fwd_cond,
+                            fwd_body if two_step else fwd_body_1step, fwd0)
 
     # ---- fast-path epilogue: resolve paused single-suffix lanes ----
     paused = st["alive"] & (st["s"] == 1) & started
@@ -231,7 +283,7 @@ def _bwd_eligible(st, min_intv):
 
 def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
                  min_seed_len, read_base, read_grid, st, emit,
-                 prev_cap: int):
+                 prev_cap: int, two_step: bool = True):
     """Run the backward phase of getSMEMsOnePosOneThread
     (FMI_search.cpp:1262-1339) over independent lanes.
 
@@ -253,7 +305,20 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
     def make_body(P):
         parange = jnp.arange(P)[None, :]
 
-        def body(st):
+        def emit_round(seeds, proc, cand, die_ok, em_m, em_n, em_k, em_s):
+            """Emission for one backward char: the first entry that
+            either survives or dies-with-output decides it."""
+            has_cand = jnp.any(cand, axis=1)
+            pstar = jnp.argmax(cand, axis=1)
+            pstar_die = jnp.take_along_axis(
+                die_ok, pstar[:, None], axis=1)[:, 0]
+            do_emit = proc & has_cand & pstar_die
+            take1 = lambda v: jnp.take_along_axis(
+                v, pstar[:, None], axis=1)[:, 0]
+            return emit(seeds, do_emit, take1(em_m), take1(em_n),
+                        take1(em_k), take1(em_s))
+
+        def body_1step(st):
             j = x - 1 - st["t"]
             stepping = st["alive"] & ~_bwd_eligible(st, min_intv)
             in_range = stepping & (j >= 0)
@@ -267,48 +332,107 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
             survive = validp & (ns >= min_intv[:, None])
             plen = st["pn"] - st["pm"] + 1
             die_ok = validp & ~survive & (plen >= min_seed_len)
-
-            # the first entry that either survives or dies-with-output
-            # decides the emission for this step
-            cand = survive | die_ok
-            has_cand = jnp.any(cand, axis=1)
-            pstar = jnp.argmax(cand, axis=1)
-            pstar_die = jnp.take_along_axis(
-                die_ok, pstar[:, None], axis=1)[:, 0]
-            do_emit = proc & has_cand & pstar_die
-            em = jnp.take_along_axis(st["pm"], pstar[:, None], axis=1)[:, 0]
-            en = jnp.take_along_axis(st["pn"], pstar[:, None], axis=1)[:, 0]
-            ek = jnp.take_along_axis(st["pk"], pstar[:, None], axis=1)[:, 0]
-            es = jnp.take_along_axis(st["ps"], pstar[:, None], axis=1)[:, 0]
-            seeds2 = emit(st["seeds"], do_emit, em, en, ek, es)
-
-            # keep deduped survivors (sizes are monotone along p, so
-            # "!= last kept size" == "first of each distinct size")
+            seeds2 = emit_round(st["seeds"], proc, survive | die_ok,
+                                die_ok, st["pm"], st["pn"], st["pk"],
+                                st["ps"])
             first_surv = survive & (jnp.cumsum(survive.astype(jnp.int32),
                                                axis=1) == 1)
             prev_ns = jnp.concatenate(
                 [jnp.full((NL, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
             keep = survive & (first_surv | (ns != prev_ns))
-            # left-compact kept entries via an in-row argsort permutation
-            # (kept first, original order) — scatters serialize on TPU
             perm = jnp.argsort(
                 jnp.where(keep, parange, P + parange), axis=1)
             compact = lambda src: jnp.take_along_axis(src, perm, axis=1)
-            npm = jnp.broadcast_to(j[:, None], (NL, P))  # new start = j
-            npn = compact(st["pn"])
-            npk = compact(nk)
-            nps = compact(ns)
+            npm = jnp.broadcast_to(j[:, None], (NL, P))
             ncount = jnp.sum(keep, axis=1).astype(jnp.int32)
-
             return dict(
                 t=st["t"] + 1,
                 num_prev=jnp.where(proc, ncount, st["num_prev"]),
                 pm=jnp.where(proc[:, None], npm, st["pm"]),
-                pn=jnp.where(proc[:, None], npn, st["pn"]),
-                pk=jnp.where(proc[:, None], npk, st["pk"]),
-                ps=jnp.where(proc[:, None], nps, st["ps"]),
+                pn=jnp.where(proc[:, None], compact(st["pn"]), st["pn"]),
+                pk=jnp.where(proc[:, None], compact(nk), st["pk"]),
+                ps=jnp.where(proc[:, None], compact(ns), st["ps"]),
                 alive=jnp.where(stepping, proc & (ncount > 0),
                                 st["alive"]),
+                seeds=seeds2,
+            )
+
+        if not two_step:
+            return body_1step
+
+        def body(st):
+            # two backward chars per gather pair: prepend q[j] (occ1 of
+            # the fused rows), then q[j-1] (occ2) — backward_extend2.
+            # Both rounds run on the UNCOMPACTED entry axis; sizes are
+            # monotone along the nested stack, so adjacent-slot dedup is
+            # exact without an intermediate compaction, and one argsort
+            # per pair of chars suffices.
+            j = x - 1 - st["t"]
+            stepping = st["alive"] & ~_bwd_eligible(st, min_intv)
+            in_range = stepping & (j >= 0)
+            a = read_base(j)
+            b = read_base(j - 1)
+            proc0 = in_range & (a < 4)
+
+            ca = jnp.broadcast_to(a[:, None], (NL, P))
+            cb = jnp.broadcast_to(b[:, None], (NL, P))
+            nk1, ns1, nk2, ns2 = fmops.backward_extend2(
+                fm, st["pk"], st["ps"], ca, cb)
+
+            # ---- round 1: char a at j ----
+            validp = parange < st["num_prev"][:, None]
+            survive1 = validp & (ns1 >= min_intv[:, None])
+            plen = st["pn"] - st["pm"] + 1
+            die_ok1 = validp & ~survive1 & (plen >= min_seed_len)
+            seeds2 = emit_round(st["seeds"], proc0, survive1 | die_ok1,
+                                die_ok1, st["pm"], st["pn"], st["pk"],
+                                st["ps"])
+            first1 = survive1 & (jnp.cumsum(survive1.astype(jnp.int32),
+                                            axis=1) == 1)
+            shift = lambda v: jnp.concatenate(
+                [jnp.full((NL, 1), -1, jnp.int32), v[:, :-1]], axis=1)
+            keep1 = survive1 & (first1 | (ns1 != shift(ns1)))
+            ncount1 = jnp.sum(keep1, axis=1).astype(jnp.int32)
+            alive0 = jnp.where(stepping, proc0 & (ncount1 > 0),
+                               st["alive"])
+
+            # ---- round 2: char b at j-1, on round-1 keepers ----
+            proc1 = alive0 & stepping & (j - 1 >= 0) & (b < 4)
+            survive2 = keep1 & (ns2 >= min_intv[:, None])
+            plen2 = st["pn"] - j[:, None] + 1   # pm after round 1 is j
+            die_ok2 = keep1 & ~survive2 & (plen2 >= min_seed_len)
+            jb = jnp.broadcast_to(j[:, None], (NL, P))
+            seeds2 = emit_round(seeds2, proc1, survive2 | die_ok2,
+                                die_ok2, jb, st["pn"], nk1, ns1)
+            first2 = survive2 & (jnp.cumsum(survive2.astype(jnp.int32),
+                                            axis=1) == 1)
+            keep2 = survive2 & (first2 | (ns2 != shift(ns2)))
+            ncount2 = jnp.sum(keep2, axis=1).astype(jnp.int32)
+            alive1 = jnp.where(proc1, ncount2 > 0, alive0)
+
+            # ---- one compaction for both rounds ----
+            two = proc1
+            keepF = jnp.where(two[:, None], keep2, keep1)
+            pkF = jnp.where(two[:, None], nk2, nk1)
+            psF = jnp.where(two[:, None], ns2, ns1)
+            pmF = jnp.where(two, j - 1, j)
+            perm = jnp.argsort(
+                jnp.where(keepF, parange, P + parange), axis=1)
+            compact = lambda src: jnp.take_along_axis(src, perm, axis=1)
+            proc = proc0
+            sel = lambda new, old: jnp.where(proc[:, None], new, old)
+            ncountF = jnp.where(two, ncount2, ncount1)
+
+            return dict(
+                t=st["t"] + 2,
+                num_prev=jnp.where(proc, ncountF, st["num_prev"]),
+                pm=jnp.where(proc[:, None],
+                             jnp.broadcast_to(pmF[:, None], (NL, P)),
+                             st["pm"]),
+                pn=sel(compact(st["pn"]), st["pn"]),
+                pk=sel(compact(pkF), st["pk"]),
+                ps=sel(compact(psF), st["ps"]),
+                alive=alive1,
                 seeds=seeds2,
             )
 
@@ -362,7 +486,7 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
 
 def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
                  min_intv, active, min_seed_len: int, seeds: SeedBatch,
-                 prev_cap: int):
+                 prev_cap: int, two_step: bool = True):
     """Run one anchor pass for every active lane.
 
     codes: int32[B, L]; lens, x, min_intv: int32[B]; active: bool[B];
@@ -381,7 +505,8 @@ def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
         return jnp.where((jt >= 0) & (jt < L), a, 4)
 
     fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens, min_intv,
-                    lambda j: _read_base(codes, j), read_grid, started, P)
+                    lambda j: _read_base(codes, j), read_grid, started, P,
+                    two_step=two_step)
     next_x = fw["next_x"]
 
     # ---- backward phase (pyramid widths) ----
@@ -394,7 +519,7 @@ def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
     )
     st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
                       lambda j: _read_base(codes, j), read_grid, bwd0,
-                      _append_seed, P)
+                      _append_seed, P, two_step=two_step)
 
     # final emission: surviving prev[0] (FMI_search.cpp:1330-1339)
     final = started & (st["num_prev"] > 0)
@@ -440,20 +565,34 @@ def anchor_next_x(fm: DeviceFMIndex, codes, lens):
         return jnp.any(st["alive"]) & (st["t"] < L)
 
     def body(st):
-        j = x + 1 + st["t"]
-        in_range = st["alive"] & (j < lens_l)
-        a = _read_base_at(codes, ridx, j)
-        ext = in_range & (a < 4)
-        nk, nl, ns = fmops.forward_extend(fm, st["k"], st["l"], st["s"], a)
-        die = ext & (ns < 1)
-        take = ext & ~die
-        next_x = jnp.where(in_range, j + 1, st["next_x"])
-        next_x = jnp.where(die, j, next_x)
-        return dict(t=st["t"] + 1,
-                    k=jnp.where(take, nk, st["k"]),
-                    l=jnp.where(take, nl, st["l"]),
-                    s=jnp.where(take, ns, st["s"]),
-                    next_x=next_x, alive=take)
+        # two chars per step from the same gathers (forward_extend2)
+        j0 = x + 1 + st["t"]
+        j1 = j0 + 1
+        a0 = _read_base_at(codes, ridx, j0)
+        a1 = _read_base_at(codes, ridx, j1)
+        (_, l1, s1), (k2, l2, s2) = fmops.forward_extend2(
+            fm, st["k"], st["l"], st["s"], a0, a1)
+        k1 = jnp.zeros_like(st["k"])  # k unused by next_x; keep l, s
+        in_range0 = st["alive"] & (j0 < lens_l)
+        ext0 = in_range0 & (a0 < 4)
+        die0 = ext0 & (s1 < 1)
+        take0 = ext0 & ~die0
+        next_x = jnp.where(in_range0, j0 + 1, st["next_x"])
+        next_x = jnp.where(die0, j0, next_x)
+        lA = jnp.where(take0, l1, st["l"])
+        sA = jnp.where(take0, s1, st["s"])
+
+        in_range1 = take0 & (j1 < lens_l)
+        ext1 = in_range1 & (a1 < 4)
+        die1 = ext1 & (s2 < 1)
+        take1 = ext1 & ~die1
+        next_x = jnp.where(in_range1, j1 + 1, next_x)
+        next_x = jnp.where(die1, j1, next_x)
+        return dict(t=st["t"] + 2,
+                    k=k1,
+                    l=jnp.where(take1, l2, lA),
+                    s=jnp.where(take1, s2, sA),
+                    next_x=next_x, alive=take1)
 
     st = jax.lax.while_loop(cond, body, st)
     nxt = st["next_x"].reshape(B, L)
@@ -500,7 +639,8 @@ class LaneSeeds(NamedTuple):
 
 def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
                        ridx, x, min_intv, active, min_seed_len: int,
-                       prev_cap: int, max_out: int) -> LaneSeeds:
+                       prev_cap: int, max_out: int,
+                       two_step: bool = True) -> LaneSeeds:
     """getSMEMsOnePosOneThread over NL independent (read, anchor) lanes.
     codes int32[B, L]; ridx/x/min_intv int32[NL]; active bool[NL].
     Emissions land in per-lane buffers in machine order."""
@@ -523,7 +663,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
 
     fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens_l, min_intv,
                     lambda j: _read_base_at(codes, ridx, j), read_grid,
-                    started, P)
+                    started, P, two_step=two_step)
     num_prev = fw["num_prev"]
     pm, pn, pk, ps = fw["pm"], fw["pn"], fw["pk"], fw["ps"]
 
@@ -553,7 +693,7 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
     )
     st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
                       lambda j: _read_base_at(codes, ridx, j), read_grid,
-                      bwd0, emit, P)
+                      bwd0, emit, P, two_step=two_step)
 
     final = started & (st["num_prev"] > 0)
     fl = st["pn"][:, 0] - st["pm"][:, 0] + 1
@@ -618,8 +758,14 @@ def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
 # --------------------------------------------------------------------------
 
 def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
-                 active, min_seed_len: int, max_seeds: int, prev_cap: int):
-    """K1: anchors sweep left to right until every lane is exhausted."""
+                 active, min_seed_len: int, max_seeds: int, prev_cap: int,
+                 two_step: bool = True):
+    """K1: anchors sweep left to right until every lane is exhausted.
+
+    two_step selects the lambert 2-chars-per-gather-pair bodies. Measured
+    on v5e: the K1 frontier (short backward walks, while-step bound) is
+    ~15% FASTER one-step; the K2 re-seed lanes (long walks) are ~3x
+    faster two-step — callers pick per kernel."""
     B, L = codes.shape
     seeds0 = _empty_seeds(B, max_seeds)
 
@@ -632,7 +778,7 @@ def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
         lane_on = active & (x < lens)
         seeds, next_x = smem_one_pos(fm, ref_codes, l_pac, codes, lens, x,
                                      min_intv, lane_on, min_seed_len, seeds,
-                                     prev_cap)
+                                     prev_cap, two_step=two_step)
         x = jnp.where(lane_on, next_x, x)
         return (x, seeds)
 
@@ -676,30 +822,54 @@ def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
         j = jnp.where(start_ok, st["x"] + 1, st["j"])
         started = st["started"] | start_ok
 
-        # extension lanes
+        # extension lanes: two chars per iteration from one gather pair
+        # (forward_extend2 — the path the reference routes through
+        # bwtSeedStrategyAllPosOneThreadTwoSteps, FMI_search.cpp:1571)
         extl = lane_on & st["started"]
-        over = extl & (j >= lens)           # inner loop exhausted
-        x = jnp.where(over, j, x)
-        started = started & ~over
-
-        step = extl & ~over
         a = _read_base(codes, j)
-        amb = step & (a >= 4)
-        x = jnp.where(amb, j + 1, x)
-        started = started & ~amb
+        b = _read_base(codes, j + 1)
+        (k1, l1, s1), (k2, l2, s2) = fmops.forward_extend2(fm, k, l, s, a, b)
 
-        go = step & ~amb
-        nk, nl, ns = fmops.forward_extend(fm, k, l, s, a)
-        k = jnp.where(go, nk, k)
-        l = jnp.where(go, nl, l)
-        s = jnp.where(go, ns, s)
-        n = jnp.where(go, j, n)
-        hit = go & (s < max_intv) & ((n - m + 1) >= min_seed_len)
-        emit = hit & (s > 0)
-        seeds = _append_seed(st["seeds"], emit, m, n, k, s)
-        x = jnp.where(hit, j + 1, x)
-        started = started & ~hit
-        j = jnp.where(go & ~hit, j + 1, j)
+        # ---- char 0 at j ----
+        over0 = extl & (j >= lens)           # inner loop exhausted
+        x = jnp.where(over0, j, x)
+        started = started & ~over0
+        step0 = extl & ~over0
+        amb0 = step0 & (a >= 4)
+        x = jnp.where(amb0, j + 1, x)
+        started = started & ~amb0
+        go0 = step0 & ~amb0
+        k = jnp.where(go0, k1, k)
+        l = jnp.where(go0, l1, l)
+        s = jnp.where(go0, s1, s)
+        n = jnp.where(go0, j, n)
+        hit0 = go0 & (s1 < max_intv) & ((j - m + 1) >= min_seed_len)
+        emit0 = hit0 & (s1 > 0)
+        seeds = _append_seed(st["seeds"], emit0, m, n, k, s)
+        x = jnp.where(hit0, j + 1, x)
+        started = started & ~hit0
+        j = jnp.where(go0 & ~hit0, j + 1, j)
+
+        # ---- char 1 at (old) j+1 ----
+        cont = go0 & ~hit0
+        over1 = cont & (j >= lens)
+        x = jnp.where(over1, j, x)
+        started = started & ~over1
+        step1 = cont & ~over1
+        amb1 = step1 & (b >= 4)
+        x = jnp.where(amb1, j + 1, x)
+        started = started & ~amb1
+        go1 = step1 & ~amb1
+        k = jnp.where(go1, k2, k)
+        l = jnp.where(go1, l2, l)
+        s = jnp.where(go1, s2, s)
+        n = jnp.where(go1, j, n)
+        hit1 = go1 & (s2 < max_intv) & ((j - m + 1) >= min_seed_len)
+        emit1 = hit1 & (s2 > 0)
+        seeds = _append_seed(seeds, emit1, m, n, k, s)
+        x = jnp.where(hit1, j + 1, x)
+        started = started & ~hit1
+        j = jnp.where(go1 & ~hit1, j + 1, j)
 
         return dict(x=x, j=j, k=k, l=l, s=s, m=m, n=n, started=started,
                     seeds=seeds, steps=st["steps"] + 1)

@@ -89,7 +89,8 @@ def test_scalar_oracle_matches_brute_force(world):
         assert got_set == want
 
 
-def test_device_k1_matches_scalar(world):
+@pytest.mark.parametrize("two_step", [True, False])
+def test_device_k1_matches_scalar(world, two_step):
     rng, ref, fm, dfm, refc = world
     reads = make_reads(rng, ref)
     B, L = reads.shape
@@ -100,7 +101,8 @@ def test_device_k1_matches_scalar(world):
     min_seed_len = 10
     seeds = smemops.smem_all_pos(dfm, refc, len(ref), codes, lens,
                                  min_intv, active, min_seed_len,
-                                 max_seeds=64, prev_cap=L + 2)
+                                 max_seeds=64, prev_cap=L + 2,
+                                 two_step=two_step)
     got = seeds_to_sets(seeds, B, fm)
     for b in range(B):
         ref_out = oracles.smem_all_pos_ref(fm, reads[b], 1, min_seed_len)
@@ -108,7 +110,8 @@ def test_device_k1_matches_scalar(world):
         assert got[b] == want, f"read {b}"
 
 
-def test_device_one_pos_matches_scalar_k2_params(world):
+@pytest.mark.parametrize("two_step", [True, False])
+def test_device_one_pos_matches_scalar_k2_params(world, two_step):
     """K2-style: varied anchors and min_intv per lane."""
     rng, ref, fm, dfm, refc = world
     reads = make_reads(rng, ref, n_reads=16)
@@ -120,7 +123,7 @@ def test_device_one_pos_matches_scalar_k2_params(world):
         dfm, refc, len(ref), jnp.asarray(reads, jnp.int32),
         jnp.full(B, L, jnp.int32),
         jnp.asarray(x), jnp.asarray(mi), jnp.ones(B, bool),
-        10, seeds0, prev_cap=L + 2)
+        10, seeds0, prev_cap=L + 2, two_step=two_step)
     got = seeds_to_sets(seeds, B, fm)
     nx = np.asarray(next_x)
     for b in range(B):
