@@ -257,6 +257,10 @@ class Mutect2Engine:
         n_reads = _reads_for_span(normal_reads, *span)
         if not t_reads:
             return []
+        for rd in t_reads:
+            rd.setdefault("sample", "tumor")
+        for rd in n_reads:
+            rd.setdefault("sample", "normal")
         haps = assembly.assemble_region(ref_seg, t_reads + n_reads,
                                         kmer_sizes=cfg.kmer_sizes)
         if len(haps) <= 1:
