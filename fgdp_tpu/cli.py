@@ -131,7 +131,7 @@ def _bam_to_read_dicts(path):
             seq_codes=dna.encode(r["seq"]).astype(np.int64),
             quals=np.frombuffer(r["qual"], np.uint8).astype(np.int64),
             mate_start=r["next_pos"] if r["next_rid"] == r["rid"] else None,
-            properly_paired=bool(r["flag"] & 0x2),
+            properly_paired=bool(r["flag"] & 0x2), flag=r["flag"],
             mapq=r["mapq"], is_reverse=bool(r["flag"] & 0x10),
             frag_len=r["tlen"]))
     return names, lens, reads
@@ -158,12 +158,16 @@ def cmd_mutect(args):
             tr.apply(r)
     all_calls = []
     callable_sites = 0
+    from .call.transformers import palindrome_artifact_clip
     for cid, cname in enumerate(ref.names):
         codes = ref.contig_codes(cid)
         t = [r for r in tumor if r["rid"] == cid]
         nr = [r for r in normal if r["rid"] == cid]
         if not t:
             continue
+        # per-read hairpin-artifact clip (ReadCache.cpp:27,115)
+        for r in t + nr:
+            palindrome_artifact_clip(r, codes)
         eng = Mutect2Engine(codes, cname, cnn_model_path=args.deep_model)
         all_calls.extend(eng.call(t, nr))
         callable_sites += eng.callable_sites
