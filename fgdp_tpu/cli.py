@@ -67,35 +67,44 @@ def _read_batches(paths, batch):
         yield names, seqs, quals
 
 
+def _timed_batches(paths, batch):
+    from .utils.profiling import PROF, READ_IO
+
+    it = _read_batches(paths, batch)
+    while True:
+        with PROF.phase(READ_IO):
+            b = next(it, None)
+        if b is None:
+            return
+        yield b
+
+
 def cmd_mem(args):
-    from .utils.profiling import PROF, READ_IO, SAM_IO
+    from .pipeline_stream import stream_mem
+    from .utils.profiling import PROF, SAM_IO
 
     aligner = _load_aligner(args.prefix, args.batch,
                             output_all=args.all_alignments)
     out = open(args.output, "w") if args.output else sys.stdout
     for ln in aligner.sam_header():
         out.write(ln + "\n")
-    n = 0
     t0 = time.time()
-    it = _read_batches(args.reads, args.batch)
-    while True:
-        with PROF.phase(READ_IO):
-            batch = next(it, None)
-        if batch is None:
-            break
-        names, seqs, quals = batch
-        # device/finalize time is attributed inside the Aligner
-        # (MEM_DEVICE / JIT_COMPILE / WORKER_SAM phases)
-        if len(args.reads) == 2:
-            lines = aligner.align_pairs(names, seqs, quals, id0=n)
-        else:
-            lines = aligner.align_batch(names, seqs, quals, id0=n)
+
+    def write_line(ln):
         with PROF.phase(SAM_IO):
-            for ln in lines:
-                out.write(ln + "\n")
-        n += len(names)
+            out.write(ln + "\n")
+
+    def progress(n):
         dt = max(time.time() - t0, 1e-9)
         print(f"[mem] {n} reads, {n/dt:.0f} reads/s", file=sys.stderr)
+
+    # 3-stage overlap (kt_pipeline analogue): FASTQ decode and SAM
+    # write ride worker threads while the device aligns the next batch;
+    # device/finalize time is attributed inside the Aligner
+    # (MEM_DEVICE / JIT_COMPILE / WORKER_SAM phases).
+    n = stream_mem(aligner, _timed_batches(args.reads, args.batch),
+                   write_line, paired=len(args.reads) == 2,
+                   progress=progress)
     if args.output:
         out.close()
     PROF.display_stats(units=n, unit_name="reads")
@@ -182,6 +191,33 @@ def cmd_mutect(args):
           file=sys.stderr)
 
 
+def cmd_pipeline(args):
+    """FASTQ -> sorted+markdup BAM (-> VCF): the three programs chained
+    with stage overlap instead of materialized SAM pipes."""
+    from .pipeline_stream import stream_fastq_to_bam
+
+    aligner = _load_aligner(args.prefix, args.batch)
+    t0 = time.time()
+
+    def progress(n):
+        dt = max(time.time() - t0, 1e-9)
+        print(f"[pipeline] {n} reads aligned, {n/dt:.0f} reads/s",
+              file=sys.stderr)
+
+    n, (nrec, ndup) = stream_fastq_to_bam(
+        aligner, _timed_batches(args.reads, args.batch), args.output,
+        paired=len(args.reads) == 2, compress_level=args.compress_level,
+        progress=progress)
+    print(f"[pipeline] {nrec} records, {ndup} duplicate pairs -> "
+          f"{args.output}(.bai)", file=sys.stderr)
+    if args.vcf:
+        mt = argparse.Namespace(
+            reference=args.reference, input=args.output,
+            normal=args.normal, output=args.vcf, deep_model=None,
+            bqsr_tumor=None, bqsr_normal=None)
+        cmd_mutect(mt)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="fgdp-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -215,6 +251,19 @@ def main(argv=None):
     pc.add_argument("--bqsr-tumor", help="GATK recal table for tumor reads")
     pc.add_argument("--bqsr-normal", help="GATK recal table for normal reads")
     pc.set_defaults(fn=cmd_mutect)
+
+    pp = sub.add_parser("pipeline",
+                        help="fastq -> sorted/markdup BAM (-> VCF), "
+                             "stages overlapped")
+    pp.add_argument("prefix")
+    pp.add_argument("reads", nargs="+")
+    pp.add_argument("-O", "--output", required=True, help="output BAM")
+    pp.add_argument("-b", "--batch", type=int, default=512)
+    pp.add_argument("-l", "--compress-level", type=int, default=6)
+    pp.add_argument("--vcf", help="also call variants to this VCF")
+    pp.add_argument("-R", "--reference", help="FASTA (required with --vcf)")
+    pp.add_argument("-N", "--normal", help="normal BAM (with --vcf)")
+    pp.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     args.fn(args)

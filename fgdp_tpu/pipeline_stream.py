@@ -1,0 +1,238 @@
+"""Streaming stage-overlap drivers — the pipeline-parallel analogue.
+
+The reference overlaps its stages two ways:
+  * within the aligner, a 3-step pthread pipeline (read chunk -> align
+    -> write SAM) keeps I/O off the compute path (kt_pipeline,
+    bwa-mem2-lcp/src/fastmap.cpp:191-368, two in-flight batches);
+  * between programs, SAM is piped: sormadup ingests the aligner's
+    stdout on a dedicated reader thread while shuffle threads parse
+    bulks behind it (sortmardup/main.cpp:84-212), and only the final
+    sort waits for all input.
+
+Here the same structure runs around the TPU: a prefetch thread decodes
+FASTQ while the device aligns, a writer thread drains SAM lines, and
+`StreamingSortMarkdup` runs the native pass-1 parse (numeric key
+extraction + rid/pairID assignment) chunk-by-chunk behind the aligner —
+at finish only the global dup-scan + coordinate sort + encode remain.
+Chunks split on QNAME boundaries so mate pairs never straddle a parse
+unit (main.cpp:532-544).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from .io import native
+from .io.sam import SamHeader
+from .sortdup import driver as sddriver
+
+_STOP = object()
+
+
+class Prefetcher:
+    """Run an iterator in a thread with a bounded queue (pipeline depth
+    = the reference's 2 in-flight kt_pipeline batches)."""
+
+    def __init__(self, it, depth: int = 2):
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:          # surfaced in __next__
+                self._err = e
+            finally:
+                self._q.put(_STOP)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _STOP:
+            self._t.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class LineWriter:
+    """Drain SAM lines to a file object on a writer thread."""
+
+    def __init__(self, write, depth: int = 4):
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            while True:
+                lines = self._q.get()
+                if lines is _STOP:
+                    return
+                try:
+                    for ln in lines:
+                        write(ln)
+                except BaseException as e:
+                    self._err = e
+                    return
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def put(self, lines):
+        if self._err is not None:
+            raise self._err
+        self._q.put(lines)
+
+    def close(self):
+        self._q.put(_STOP)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
+def stream_mem(aligner, batch_iter, write_line, paired: bool,
+               depth: int = 2, progress=None):
+    """3-stage overlapped `mem`: prefetched batches -> align -> writer
+    thread. Returns total reads aligned."""
+    n = 0
+    writer = LineWriter(write_line, depth=2 * depth)
+    try:
+        for names, seqs, quals in Prefetcher(batch_iter, depth):
+            if paired:
+                lines = aligner.align_pairs(names, seqs, quals, id0=n)
+            else:
+                lines = aligner.align_batch(names, seqs, quals, id0=n)
+            writer.put(lines)
+            n += len(names)
+            if progress is not None:
+                progress(n)
+    finally:
+        writer.close()
+    return n
+
+
+class StreamingSortMarkdup:
+    """sormadup with streamed ingest: pass-1 parse runs on a worker
+    thread per fed chunk; finish() runs the global dup scan + sort +
+    encode (the reference's reader/shuffle-vs-sort split)."""
+
+    def __init__(self, header_lines, out_bam_path, compress_level: int = 6):
+        self.header_lines = [ln.rstrip("\n") for ln in header_lines]
+        self.header = SamHeader.parse(self.header_lines)
+        self.out_bam_path = out_bam_path
+        self.compress_level = compress_level
+        self._q = queue.Queue(maxsize=4)
+        self._chunks = []          # (bytes, parsed, rid, pair_id)
+        self._holdback = ""        # lines sharing the last QNAME
+        self._fallback_lines = []  # pure-Python path if native missing
+        self._native = native.get_lib() is not None
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    # ---- worker ----
+    def _run(self):
+        while True:
+            chunk = self._q.get()
+            if chunk is _STOP:
+                return
+            try:
+                buf = chunk.encode()
+                parsed = native.parse_sam_numeric(buf, buf.count(b"\n") + 1)
+                rp = native.assign_rid_pairid(buf, parsed,
+                                              self.header.names)
+                self._chunks.append((buf, parsed, rp[0], rp[1]))
+            except BaseException as e:
+                self._err = e
+                return
+
+    # ---- producer API ----
+    def feed(self, lines):
+        """Feed SAM body lines (no header). Splits on QNAME boundaries
+        so mates stay within one parse unit (main.cpp:532-544)."""
+        if self._err is not None:
+            raise self._err
+        body = [ln.rstrip("\n") for ln in lines
+                if ln and not ln.startswith("@")]
+        if not body:
+            return
+        if not self._native:
+            self._fallback_lines.extend(body)
+            return
+        last_qn = body[-1].split("\t", 1)[0]
+        cut = len(body)
+        while cut > 0 and body[cut - 1].split("\t", 1)[0] == last_qn:
+            cut -= 1
+        text = self._holdback + "".join(ln + "\n" for ln in body[:cut])
+        self._holdback = "".join(ln + "\n" for ln in body[cut:])
+        if text:
+            self._q.put(text)
+
+    def finish(self):
+        """Returns (n_records, n_dup_pairs); writes BAM + BAI."""
+        if not self._native:
+            self._q.put(_STOP)
+            self._t.join()
+            return sddriver.sort_markdup(
+                self.header_lines + self._fallback_lines,
+                self.out_bam_path, self.compress_level)
+        if self._holdback:
+            self._q.put(self._holdback)
+            self._holdback = ""
+        self._q.put(_STOP)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+        if not self._chunks:
+            return sddriver.sort_markdup(self.header_lines,
+                                         self.out_bam_path,
+                                         self.compress_level)
+        # merge chunk arrays; shift byte offsets and pairIDs
+        bufs, parsed_list, rids, pids = zip(*self._chunks)
+        base = np.cumsum([0] + [len(b) for b in bufs[:-1]])
+        off_keys = ("line_start", "line_end", "qn_start", "qn_end",
+                    "rn_start", "rn_end")
+        merged = {}
+        for k in parsed_list[0]:
+            parts = [p[k] + (base[i] if k in off_keys else 0)
+                     for i, p in enumerate(parsed_list)]
+            merged[k] = np.concatenate(parts)
+        pid_out, pid_base = [], 0
+        for p in pids:
+            p = np.asarray(p, np.int64)
+            pid_out.append(np.where(p > 0, p + pid_base, 0))
+            pid_base += int(p.max(initial=0))
+        rid = np.concatenate(rids)
+        pair_id = np.concatenate(pid_out)
+        return sddriver._native_pass2(
+            b"".join(bufs), merged, rid, pair_id, self.header,
+            self.out_bam_path, self.compress_level)
+
+
+def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
+                        compress_level: int = 6, depth: int = 2,
+                        progress=None):
+    """Aligner stage piped straight into the streaming sormadup — the
+    inter-program pipe of the reference, without materialized SAM."""
+    sd = StreamingSortMarkdup(list(aligner.sam_header()), out_bam_path,
+                              compress_level)
+    n = 0
+    for names, seqs, quals in Prefetcher(batch_iter, depth):
+        if paired:
+            lines = aligner.align_pairs(names, seqs, quals, id0=n)
+        else:
+            lines = aligner.align_batch(names, seqs, quals, id0=n)
+        sd.feed(lines)
+        n += len(names)
+        if progress is not None:
+            progress(n)
+    return n, sd.finish()

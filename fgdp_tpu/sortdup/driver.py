@@ -179,8 +179,16 @@ def _sort_markdup_native(data, header: SamHeader, out_bam_path,
     if rp is None:
         return None
     rid, pair_id = rp
-    n = len(rid)
+    return _native_pass2(buf, parsed, rid, pair_id, header, out_bam_path,
+                         compress_level, batch_records)
 
+
+def _native_pass2(buf, parsed, rid, pair_id, header: SamHeader,
+                  out_bam_path, compress_level: int,
+                  batch_records: int = 200_000):
+    """Dup detection + coordinate sort + sorted-batch encode/BGZF/BAI
+    over already-parsed numeric arrays (offsets index into `buf`)."""
+    n = len(rid)
     kt = header.ktable()
     ref_len = int(kt[-1])
     pos0 = parsed["pos"] - 1

@@ -40,22 +40,11 @@ class DupResult(NamedTuple):
     dup_pair: jax.Array   # bool[n_pairs] aligned to input pair order
 
 
-@jax.jit
-def mark_duplicates(
-    dbl_p5a_hi, dbl_p5a_lo, dbl_orient, dbl_p5b_hi, dbl_p5b_lo,
-    dbl_score, dbl_tile, dbl_x, dbl_y, dbl_valid,
-    sgl_p5_hi, sgl_p5_lo, sgl_rev, sgl_score, sgl_tile, sgl_x, sgl_y,
-    sgl_valid, ref_len_hi, ref_len_lo,
-):
-    """Returns (dup_dbl bool[ND], dup_sgl bool[NS]) aligned to inputs.
-
-    All inputs int32 device arrays; *_valid masks padding lanes.
-    """
+def mark_doubles(dbl_p5a_hi, dbl_p5a_lo, dbl_orient, dbl_p5b_hi,
+                 dbl_p5b_lo, dbl_score, dbl_tile, dbl_x, dbl_y, dbl_valid):
+    """Doubles sort + equal-key run scan -> dup bool[ND] (input order)."""
     ND = dbl_p5a_hi.shape[0]
-    NS = sgl_p5_hi.shape[0]
     big = jnp.int32(2**31 - 1)
-
-    # ---------- doubles: sort + run scan ----------
     # sort keys: (valid, p5a, orient, p5b) then score desc, tile, x, y
     inval = ~dbl_valid
     keys = (
@@ -75,9 +64,15 @@ def mark_duplicates(
         same = same & (sorted_keys[k] == jnp.roll(sorted_keys[k], 1))
     same = same.at[0].set(False)
     dup_sorted = same & ~sorted_keys[0].astype(bool)
-    dup_dbl = jnp.zeros(ND, bool).at[sidx].set(dup_sorted)
+    return jnp.zeros(ND, bool).at[sidx].set(dup_sorted)
 
-    # ---------- indicator set: (p5 + strand*L) of every double end ----------
+
+def indicator_keys(dbl_p5a_hi, dbl_p5a_lo, dbl_orient, dbl_p5b_hi,
+                   dbl_p5b_lo, dbl_valid, ref_len_hi, ref_len_lo):
+    """(p5 + strand*L) keys of every double end (the reference's
+    double_pair_indicator bitmap, main.cpp:180-192) -> unsorted
+    (hi, lo) int32[2*ND]; invalid lanes pushed to INT32_MAX."""
+    big = jnp.int32(2**31 - 1)
     # left end strand: orient in {RF, RR} -> reverse; right end: {FR, RR}
     lrev = (dbl_orient >= 2).astype(jnp.int32)
     rrev = (dbl_orient & 1)
@@ -91,9 +86,16 @@ def mark_duplicates(
                               jnp.where(dbl_valid, ib_hi, big)])
     ind_lo = jnp.concatenate([jnp.where(dbl_valid, ia_lo, big),
                               jnp.where(dbl_valid, ib_lo, big)])
-    ind_hi, ind_lo = jax.lax.sort((ind_hi, ind_lo), dimension=0, num_keys=2)
+    return ind_hi, ind_lo
 
-    # ---------- singles ----------
+
+def mark_singles(sgl_p5_hi, sgl_p5_lo, sgl_rev, sgl_score, sgl_tile,
+                 sgl_x, sgl_y, sgl_valid, ind_hi, ind_lo,
+                 ref_len_hi, ref_len_lo):
+    """Singles sort + run scan + indicator membership -> dup bool[NS].
+    ind_hi/ind_lo must be sorted ascending."""
+    NS = sgl_p5_hi.shape[0]
+    big = jnp.int32(2**31 - 1)
     skeys = (
         (~sgl_valid).astype(jnp.int32),
         jnp.where(sgl_valid, sgl_p5_hi, big),
@@ -135,7 +137,30 @@ def mark_duplicates(
     flo = jnp.take(ind_lo, jnp.clip(fidx, 0, n_ind - 1))
     hit = (fidx < n_ind) & (fh == th_hi) & (flo == th_lo)
     dup_sorted_s = (same_s | (head & hit)) & ~ss[0].astype(bool)
-    dup_sgl = jnp.zeros(NS, bool).at[s_sidx].set(dup_sorted_s)
+    return jnp.zeros(NS, bool).at[s_sidx].set(dup_sorted_s)
+
+
+@jax.jit
+def mark_duplicates(
+    dbl_p5a_hi, dbl_p5a_lo, dbl_orient, dbl_p5b_hi, dbl_p5b_lo,
+    dbl_score, dbl_tile, dbl_x, dbl_y, dbl_valid,
+    sgl_p5_hi, sgl_p5_lo, sgl_rev, sgl_score, sgl_tile, sgl_x, sgl_y,
+    sgl_valid, ref_len_hi, ref_len_lo,
+):
+    """Returns (dup_dbl bool[ND], dup_sgl bool[NS]) aligned to inputs.
+
+    All inputs int32 device arrays; *_valid masks padding lanes.
+    """
+    dup_dbl = mark_doubles(dbl_p5a_hi, dbl_p5a_lo, dbl_orient, dbl_p5b_hi,
+                           dbl_p5b_lo, dbl_score, dbl_tile, dbl_x, dbl_y,
+                           dbl_valid)
+    ind_hi, ind_lo = indicator_keys(dbl_p5a_hi, dbl_p5a_lo, dbl_orient,
+                                    dbl_p5b_hi, dbl_p5b_lo, dbl_valid,
+                                    ref_len_hi, ref_len_lo)
+    ind_hi, ind_lo = jax.lax.sort((ind_hi, ind_lo), dimension=0, num_keys=2)
+    dup_sgl = mark_singles(sgl_p5_hi, sgl_p5_lo, sgl_rev, sgl_score,
+                           sgl_tile, sgl_x, sgl_y, sgl_valid, ind_hi,
+                           ind_lo, ref_len_hi, ref_len_lo)
     return dup_dbl, dup_sgl
 
 

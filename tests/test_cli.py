@@ -59,3 +59,11 @@ def test_cli_full_pipeline(tiny_world):
     vcf = tmp / "out.vcf"
     cli.main(["mutect", "-R", str(fa), "-I", str(bam), "-O", str(vcf)])
     assert vcf.read_text().startswith("##fileformat")
+
+    # streamed pipeline (stage overlap) must produce the identical BAM
+    bam2 = tmp / "out2.bam"
+    cli.main(["pipeline", prefix, str(r1p), str(r2p), "-O", str(bam2),
+              "-b", "96"])
+    assert bam2.read_bytes() == bam.read_bytes()
+    assert (tmp / "out2.bam.bai").read_bytes() == \
+        (tmp / "out.bam.bai").read_bytes()
