@@ -32,6 +32,13 @@ def cmd_index(args):
     fm.save(args.prefix + ".fmi")
     print(f"[index] FM-index built in {time.time()-t0:.1f}s",
           file=sys.stderr)
+    t0 = time.time()
+    from .index.rmi import RMIndex
+    from .utils import dna
+    x = np.concatenate([pref.codes, dna.revcomp(pref.codes)])
+    RMIndex.build(x, fm.sa).save(args.prefix + ".rmi")
+    print(f"[index] RMI learned index built in {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
 
 def _load_aligner(prefix, batch, output_all=False):
