@@ -76,7 +76,23 @@ class PackedReference:
     @classmethod
     def from_fasta(cls, path, seed: int = 11) -> "PackedReference":
         from ..io.fasta import read_fasta
-        return cls.from_reference(read_fasta(path, randomize_seed=seed))
+        pref = cls.from_reference(read_fasta(path, randomize_seed=seed))
+        pref.load_alt(str(path) + ".alt")
+        return pref
+
+    def load_alt(self, alt_path) -> None:
+        """Mark ALT contigs from a bwa-style .alt file: the first
+        tab-field of every non-'@' line names an alt contig
+        (bns_restore, ext/TAL/ext/bntseq.cpp:199-224)."""
+        import os
+        if not os.path.exists(alt_path):
+            return
+        idx = {n: i for i, n in enumerate(self.names)}
+        with open(alt_path) as f:
+            for ln in f:
+                name = ln.split("\t", 1)[0].strip()
+                if name and not name.startswith("@") and name in idx:
+                    self.is_alt[idx[name]] = True
 
     # ---- host coordinate helpers (bntseq.cpp parity) ----
 

@@ -64,8 +64,10 @@ class Aligner:
 
     def sam_header(self, rg_line=None):
         lines = ["@HD\tVN:1.6\tSO:unsorted"]
-        for name, ln in zip(self.pref.names, self.pref.lens):
-            lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+        for i, (name, ln) in enumerate(zip(self.pref.names,
+                                           self.pref.lens)):
+            ah = "\tAH:*" if bool(self.pref.is_alt[i]) else ""
+            lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}{ah}")
         if rg_line:
             lines.append(rg_line)
         lines.append("@PG\tID:fgdp-tpu\tPN:fgdp-tpu\tVN:0.1")

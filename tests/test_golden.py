@@ -144,3 +144,33 @@ def test_golden_all_alignments():
     assert matches >= 0.9 * min(len(osec), len(usec)), matches
     # no XA tags in -a mode
     assert not any("XA:Z" in l for l in ours)
+
+
+def test_golden_alt_contigs():
+    """ALT-contig handling (.alt file): alt-aware primary marking
+    (bwamem.cpp:1882-1926 two-round sort with is_alt), alt hits emitted
+    as supplementary 0x800 when they head their group, XA listing alt
+    hits, AH:* header lines (bwa.cpp:542)."""
+    pref = PackedReference.from_fasta(os.path.join(HERE, "alt_ref.fa"))
+    assert list(pref.is_alt) == [False, True]
+    al = Aligner.build(pref, shapes=SHAPES)
+    assert any("AH:*" in ln for ln in al.sam_header())
+    names, seqs, quals = _load_fastq(os.path.join(HERE, "alt.fq"))
+    lines = al.align_batch(names, seqs, quals)
+    with open(os.path.join(HERE, "alt.oracle.sam")) as f:
+        oracle = f.read().splitlines()
+    # primary records: core + tag parity
+    _compare(oracle, lines, CORE, 48, 48, len(names))
+    # supplementary alt records (flag 0x800): set parity on
+    # (qname, rname, pos, cigar)
+    def supp(ls):
+        return sorted((f[0], f[2], f[3], f[5])
+                      for f in (ln.split("\t") for ln in ls
+                                if ln and not ln.startswith("@"))
+                      if int(f[1]) & 0x800)
+    assert supp(lines) == supp(oracle)
+    # XA parity on primaries
+    ref, ours = _index_sam(oracle), _index_sam(lines)
+    xa_match = sum(_tags(rf).get("XA") == _tags(ours[k]).get("XA")
+                   for k, rf in ref.items())
+    assert xa_match >= 46, xa_match
