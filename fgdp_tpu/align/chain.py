@@ -135,6 +135,12 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
     carange = jnp.arange(C)[None, :]
     l_pac = dref.l_pac
 
+    # loop only to the last occupied seed slot in the batch: while-loop
+    # machines cost per STEP, not per useful lane (see ops/smem.py), and
+    # typical reads fill ~10 of the P slots
+    parange = jnp.arange(P, dtype=jnp.int32)
+    t_max = jnp.max(jnp.where(jnp.any(valid, axis=0), parange + 1, 0))
+
     def body(t, st):
         v = valid[:, t]
         qb, rb, ln, rd = qbeg[:, t], rbeg[:, t], slen[:, t], rid[:, t]
@@ -209,7 +215,10 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         st2["chain_of"] = st["chain_of"].at[:, t].set(jnp.where(v, cid, -1))
         return st2
 
-    st = jax.lax.fori_loop(0, P, body, st)
+    st = jax.lax.while_loop(
+        lambda c: c[0] < t_max,
+        lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), st))[1]
 
     weight = jnp.minimum(st["wq"], st["wr"])
     weight = jnp.minimum(weight, (1 << 30) - 1)

@@ -50,12 +50,12 @@ def main():
 
     k1 = jax.jit(lambda c, l, a: smemops.smem_all_pos(
         dfm, dref.codes, dref.l_pac, c, l, jnp.ones(B, jnp.int32), a,
-        opt.min_seed_len, shapes.max_smems, 64))
+        opt.min_seed_len, shapes.max_smems, 20))
     k3 = jax.jit(lambda c, l, a: smemops.seed_strategy(
         dfm, c, l, a, opt.max_mem_intv, opt.min_seed_len + 1,
         shapes.max_smems))
     seedfn = jax.jit(functools.partial(
-        collect_seeds, opt=opt, max_seeds=shapes.max_smems, prev_cap=64))
+        collect_seeds, opt=opt, max_seeds=shapes.max_smems))
     chainfn = jax.jit(functools.partial(
         chainmod.chain_seeds, opt=opt, max_seedpos=shapes.max_seeds,
         max_chains=shapes.max_chains))
