@@ -146,12 +146,12 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
         """Band-doubling: w then 2w; accept try1 iff the score repeats the
         caller's previous score or max_off is small
         (MAX_BAND_TRY=2, bwamem.cpp:49,2927-2950)."""
-        r1 = swops.sw_extend(q, qn, t, tn, h0v, opt.w, mat, params,
+        r1 = swops.sw_extend_auto(q, qn, t, tn, h0v, opt.w, mat, params,
                              t_max=TP)
         take1 = (r1.score == prev) | \
             (r1.max_off < ((opt.w >> 1) + (opt.w >> 2)))
         # rerun only lanes that need the doubled band
-        r2 = swops.sw_extend(q, jnp.where(take1, 0, qn), t,
+        r2 = swops.sw_extend_auto(q, jnp.where(take1, 0, qn), t,
                              jnp.where(take1, 0, tn), h0v, opt.w * 2, mat,
                              params, t_max=TP)
         sel = lambda a, b: jnp.where(take1, a, b)

@@ -47,6 +47,21 @@ class SWResult(NamedTuple):
     max_off: jax.Array  # int32[B] max diagonal offset at improvements
 
 
+def sw_extend_auto(query, qlen, target, tlen, h0, w, mat, p: SWParams,
+                   t_max: int | None = None) -> SWResult:
+    """sw_extend via the Pallas kernel on accelerators (bit-identical;
+    ~4x at extension shapes), the jnp row-loop on CPU."""
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if on_tpu:
+        from .sw_pallas import sw_extend_pallas
+        return sw_extend_pallas(query, qlen, target, tlen, h0, int(w),
+                                None, p, t_max=t_max)
+    return sw_extend(query, qlen, target, tlen, h0, w, mat, p, t_max=t_max)
+
+
 def sw_extend(query, qlen, target, tlen, h0, w, mat, p: SWParams,
               t_max: int | None = None) -> SWResult:
     """Batched extension SW. query int32[B, QP], target int32[B, TP]

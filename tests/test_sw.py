@@ -92,3 +92,27 @@ def test_sw_extend_empty_lanes():
     assert np.asarray(res.score)[0] == 10
     assert np.asarray(res.score)[1] == 10
     assert np.asarray(res.gscore)[2] == -1
+
+
+def test_sw_pallas_matches_jnp(rng):
+    """Pallas SW kernel (interpret mode on CPU) is bit-identical to the
+    jnp row-loop across realistic extension shapes incl. empty lanes."""
+    from fgdp_tpu.ops.sw_pallas import sw_extend_pallas
+
+    n, qmax, tmax = 96, 96, 128
+    qs, ts, qlen, tlen = _random_pairs(rng, n, qmax, tmax)
+    qlen[3] = 0      # dead-lane path
+    tlen[5] = 0
+    h0 = rng.integers(1, 80, n).astype(np.int32)
+    for w, bonus in ((100, OPT.pen_clip5), (33, OPT.pen_clip3)):
+        p = _params(bonus)
+        a = sw_extend(jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
+                      jnp.asarray(tlen), jnp.asarray(h0), w,
+                      jnp.asarray(MAT), p)
+        b = sw_extend_pallas(jnp.asarray(qs), jnp.asarray(qlen),
+                             jnp.asarray(ts), jnp.asarray(tlen),
+                             jnp.asarray(h0), w, jnp.asarray(MAT), p,
+                             interpret=True)
+        for k in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
+            assert np.array_equal(np.asarray(getattr(a, k)),
+                                  np.asarray(getattr(b, k))), (w, k)
