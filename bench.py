@@ -132,22 +132,25 @@ def bench_pairhmm(NP=2048, R=151, H=384):
             return total
         return chain
 
-    ts = {}
-    for K in (4, 20):
-        ch = make_chain(K)
-        warm = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
-                jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
-        _ = float(np.asarray(ch(*warm)))
-        best = 1e9
-        for trial in range(3):
-            a2 = (jnp.asarray(reads), jnp.asarray(rlens),
-                  jnp.asarray(pq + 1e-7 * (trial + 1) * K),
-                  jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
-            t0 = time.perf_counter()
-            _ = float(np.asarray(ch(*a2)))
-            best = min(best, time.perf_counter() - t0)
-        ts[K] = best
-    per_call = max((ts[20] - ts[4]) / 16, 1e-9)
+    # paired short/long chains per trial; median of paired differences
+    # cancels the relay's per-dispatch jitter (which exceeds 16 calls'
+    # compute — an unpaired best-of subtraction returned nonsense)
+    K0, K1 = 4, 36
+    ch0, ch1 = make_chain(K0), make_chain(K1)
+    mk = lambda eps: (jnp.asarray(reads), jnp.asarray(rlens),
+                      jnp.asarray(pq + eps), jnp.asarray(tr),
+                      jnp.asarray(haps), jnp.asarray(hlens))
+    _ = float(np.asarray(ch0(*mk(0.0))))
+    _ = float(np.asarray(ch1(*mk(1e-7))))
+    diffs = []
+    for trial in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(ch0(*mk(1e-7 * (2 * trial + 2)))))
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(np.asarray(ch1(*mk(1e-7 * (2 * trial + 3)))))
+        diffs.append((time.perf_counter() - t0) - t_a)
+    per_call = max(float(np.median(diffs)) / (K1 - K0), 1e-9)
     return NP * R * H / per_call / 1e9
 
 

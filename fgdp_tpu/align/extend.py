@@ -162,7 +162,7 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     # ---- left extension: reversed prefixes ----
     q_left = jnp.take_along_axis(gcodes, jnp.clip(gqb[:, None] - 1 - jj,
                                                   0, L - 1), axis=1)
-    t_left = dref.fetch(grb[:, None] - 1 - tt)
+    t_left = dref.fetch_window(grb - TP, TP, reverse=True)
     h0 = glen * opt.a
     do_left = glive & (gqb > 0)
     rl, wl = run_retry(q_left, jnp.where(do_left, gqb, 0),
@@ -184,7 +184,7 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     q_right = jnp.take_along_axis(gcodes, jnp.clip(gqe[:, None] + jj,
                                                    0, L - 1), axis=1)
     re0 = grb + glen
-    t_right = dref.fetch(re0[:, None] + tt)
+    t_right = dref.fetch_window(re0, TP)
     do_right = glive & (gqe < glens)
     rr, wr = run_retry(q_right, jnp.where(do_right, glens - gqe, 0),
                        t_right, jnp.where(do_right, gr1 - re0, 0),

@@ -168,13 +168,24 @@ class DeviceReference:
             self.is_alt = jnp.asarray(ref.is_alt)
             self.l_pac = jnp.int32(ref.l_pac)
             self.n_contigs = len(ref.names)
+            # doubled-space text (fwd + revcomp) packed 16 codes/uint32:
+            # window fetches gather 1/16 the rows of an element gather
+            x = np.concatenate([np.asarray(ref.codes, np.uint8),
+                                3 - np.asarray(ref.codes, np.uint8)[::-1]])
+            nw = (len(x) + 15) // 16 + 1
+            xp = np.zeros(nw * 16, np.uint32)
+            xp[:len(x)] = x
+            self.codes16 = jnp.asarray(
+                (xp.reshape(nw, 16) << (2 * np.arange(16, dtype=np.uint32))
+                 ).sum(axis=1, dtype=np.uint32))
         else:
-            self.codes, self.offsets, self.is_alt, self.l_pac = _leaves
+            (self.codes, self.offsets, self.is_alt, self.l_pac,
+             self.codes16) = _leaves
             self.n_contigs = _n_contigs
 
     def tree_flatten(self):
-        return ((self.codes, self.offsets, self.is_alt, self.l_pac),
-                self.n_contigs)
+        return ((self.codes, self.offsets, self.is_alt, self.l_pac,
+                 self.codes16), self.n_contigs)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -188,6 +199,34 @@ class DeviceReference:
         base = jnp.take(self.codes, jnp.clip(pf, 0, self.l_pac - 1), axis=0)
         base = jnp.where(fwd, base, 3 - base)
         return jnp.where((pos >= 0) & (pos < l2), base, 4)
+
+    def fetch_window(self, start, T: int, reverse: bool = False):
+        """Contiguous doubled-space window codes: [J, T] int32 with 4 at
+        out-of-range positions. reverse=True returns position
+        start+T-1-c at column c (left-extension order). One packed-word
+        gather per 16 codes instead of an element gather per code."""
+        start = start.astype(jnp.int32)
+        l2 = 2 * self.l_pac
+        W = T // 16 + 2
+        w0 = jnp.right_shift(start, 4)      # arithmetic: floor for < 0
+        words = jnp.take(self.codes16,
+                         jnp.clip(w0[:, None] +
+                                  jnp.arange(W, dtype=jnp.int32)[None, :],
+                                  0, self.codes16.shape[0] - 1), axis=0)
+        off = (start & 15).astype(jnp.uint32)   # nonneg remainder
+        sh = 2 * off[:, None]
+        aligned = jnp.where(
+            off[:, None] == 0, words[:, :-1],
+            (words[:, :-1] >> sh) |
+            (words[:, 1:] << (jnp.uint32(32) - sh)))      # [J, W-1]
+        cols = jnp.arange(T, dtype=jnp.int32)
+        wi = cols >> 4
+        bi = (2 * (cols & 15)).astype(jnp.uint32)
+        codes = (aligned[:, wi] >> bi[None, :]) & jnp.uint32(3)
+        codes = codes.astype(jnp.int32)
+        pos = start[:, None] + cols[None, :]
+        codes = jnp.where((pos >= 0) & (pos < l2), codes, 4)
+        return codes[:, ::-1] if reverse else codes
 
     def pos2rid(self, pos_f):
         """Batched bns_pos2rid over forward-space positions."""

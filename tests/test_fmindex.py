@@ -154,3 +154,21 @@ def test_two_step_extension_matches_sequential(rng):
     np.testing.assert_array_equal(got2[:, 2], wf2[:, 2])
     live = wf2[:, 2] > 0
     np.testing.assert_array_equal(got2[live], wf2[live])
+
+
+def test_fetch_window_matches_elementwise():
+    import jax.numpy as jnp
+    from fgdp_tpu.index.reference import DeviceReference, PackedReference
+
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 4, 777).astype(np.uint8)
+    dref = DeviceReference(PackedReference.from_contigs(["c"], [ref]))
+    T = 48
+    start = jnp.asarray(rng.integers(-20, 2 * 777 + 20, 64), jnp.int32)
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    want_f = dref.fetch(start[:, None] + tt)
+    got_f = dref.fetch_window(start, T)
+    assert np.array_equal(np.asarray(got_f), np.asarray(want_f))
+    want_r = dref.fetch(start[:, None] + (T - 1) - tt)
+    got_r = dref.fetch_window(start, T, reverse=True)
+    assert np.array_equal(np.asarray(got_r), np.asarray(want_r))
