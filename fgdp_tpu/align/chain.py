@@ -168,9 +168,12 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         appended = v & has_lo & same_rid & ~contained & ~diff_strand & growable
         new_chain = v & ~(merged_contained | appended)
 
-        # --- append to chain `lo` ---
+        # --- append to chain `lo` --- (one-hot selects: row scatters
+        # serialize on TPU, see ops/smem.py)
+        oh_lo = carange == lo[:, None]
+
         def upd(a, val, mask):
-            return a.at[bidx, lo].set(jnp.where(mask, val, a[bidx, lo]))
+            return jnp.where(oh_lo & mask[:, None], val[:, None], a)
 
         # union-coverage increments (mem_chain_weight running ends)
         dq = jnp.where(qb >= g(st["qend"]), ln,
@@ -190,9 +193,10 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         # --- new chain in slot n ---
         slot = jnp.where(new_chain & (st["n"] < C), st["n"], C)
         ovf2 = st["ovf"] | (new_chain & (st["n"] >= C))
+        oh_slot = carange == slot[:, None]
 
         def put(a, val):
-            return a.at[bidx, slot].set(val, mode="drop")
+            return jnp.where(oh_slot, val[:, None], a)
 
         st2["pos"] = put(st2["pos"], rb)
         st2["crid"] = put(st2["crid"], rd)

@@ -171,7 +171,13 @@ def _kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
             (st["dead"] | died_zero | zdie).astype(jnp.int32)], axis=0)
         return 0
 
-    jax.lax.fori_loop(0, TP, row, 0)
+    # early exit once every lane is dead or past its target length —
+    # makes the band-doubling retry call (~all lanes qn=0) near-free
+    def cond(i):
+        live = (st_ref[pl.ds(8, 1), :] == 0) & (i < tlen)
+        return (i < TP) & jnp.any(live)
+
+    jax.lax.while_loop(cond, lambda i: (row(i, 0), i + 1)[1], jnp.int32(0))
     ld = lambda r: st_ref[pl.ds(r, 1), :]
     score_ref[:] = ld(2)
     qle_ref[:] = ld(4) + 1
