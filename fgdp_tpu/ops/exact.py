@@ -149,3 +149,102 @@ def exact_search(fm: fmops.DeviceFMIndex, rmi: DeviceRMI, codes, lens):
     st = jax.lax.while_loop(
         cond, body, dict(t=jnp.zeros(B, jnp.int32), k=k, s=s, rem=rem))
     return st["k"], jnp.where(lens > 0, st["s"], 0)
+
+
+def inexact_search(fm: fmops.DeviceFMIndex, codes, lens, z: int,
+                   max_out: int, fifo_cap: int | None = None):
+    """Backtracking search with up to z mismatches — FMI_search::
+    inexact_search (ext/TAL/src/FMI/FMI_search.cpp:2494-2660): BFS over
+    (k, l, i, z) states from (0, N, L-1, z); z == 0 states extend with
+    the query char only, z > 0 states branch over all four bases
+    (mismatches decrement z); states that consume the whole query emit
+    their (k, s) range.
+
+    Intended for short probes like the reference's exact/inexact-search
+    benches (the FIFO is O(L^2 z) worst case). codes int32[B, L],
+    lens int32[B]. Returns (k int32[B, max_out], s int32[B, max_out],
+    count int32[B], overflow bool[B]).
+    """
+    B, L = codes.shape
+    F = fifo_cap if fifo_cap is not None else 4 * L * max(z, 1) + 8
+    N = fm.text_len
+    farange = jnp.arange(F, dtype=jnp.int32)[None, :]
+    oarange = jnp.arange(max_out, dtype=jnp.int32)[None, :]
+
+    st = dict(
+        fk=jnp.zeros((B, F), jnp.int32),
+        fl=jnp.broadcast_to(jnp.where(farange == 0, jnp.int32(N), 0),
+                            (B, F)).astype(jnp.int32),
+        fi=jnp.where(farange == 0, lens[:, None] - 1, 0).astype(jnp.int32),
+        fz=jnp.broadcast_to(jnp.where(farange == 0, jnp.int32(z), 0),
+                            (B, F)),
+        head=jnp.zeros(B, jnp.int32),
+        size=jnp.ones(B, jnp.int32),
+        ok=jnp.zeros((B, max_out), jnp.int32),
+        os=jnp.zeros((B, max_out), jnp.int32),
+        n=jnp.zeros(B, jnp.int32),
+        ovf=jnp.zeros(B, bool),
+    )
+
+    def cond(st):
+        return jnp.any(st["head"] < st["size"])
+
+    def body(st):
+        live = st["head"] < st["size"]
+        take = lambda a: jnp.take_along_axis(
+            a, st["head"][:, None] % F, axis=1)[:, 0]
+        k, l, i, zz = take(st["fk"]), take(st["fl"]), take(st["fi"]), \
+            take(st["fz"])
+
+        # emission: i < 0 -> output (k, s)
+        emit = live & (i < 0)
+        can = emit & (st["n"] < max_out)
+        oh = (oarange == st["n"][:, None]) & can[:, None]
+        ok2 = jnp.where(oh, k[:, None], st["ok"])
+        os2 = jnp.where(oh, (l - k)[:, None], st["os"])
+        n2 = st["n"] + can.astype(jnp.int32)
+        ovf = st["ovf"] | (emit & ~can)
+
+        # extension: all four branch intervals from two gathers
+        o_k = fmops.occ4(fm, k)
+        o_l = fmops.occ4(fm, l)
+        sp = fm.counts[None, :4].astype(jnp.int32) + o_k      # [B, 4]
+        ep = fm.counts[None, :4].astype(jnp.int32) + o_l
+        qc = jnp.take_along_axis(codes, jnp.clip(i, 0, L - 1)[:, None],
+                                 axis=1)[:, 0]
+        carange = jnp.arange(4, dtype=jnp.int32)[None, :]
+        branch_ok = (sp < ep) & live[:, None] & (i >= 0)[:, None]
+        is_q = carange == qc[:, None]
+        # z == 0: only the query char; z > 0: all four
+        branch_ok = branch_ok & ((zz > 0)[:, None] | is_q)
+        nz = jnp.where(is_q, zz[:, None], zz[:, None] - 1)
+        # push surviving branches at size, size+1, ... (c ascending,
+        # matching the reference's FIFO order)
+        bslot = jnp.cumsum(branch_ok.astype(jnp.int32), axis=1) - 1
+        tails = (st["size"][:, None] + bslot) % F
+        room = st["size"] - st["head"] + \
+            jnp.sum(branch_ok, axis=1).astype(jnp.int32) <= F
+        ovf = ovf | (live & ~room)
+        push = branch_ok & room[:, None]
+
+        def put(dst, vals):
+            upd = dst
+            for c in range(4):
+                ohp = (farange == tails[:, c:c + 1]) & push[:, c:c + 1]
+                upd = jnp.where(ohp, vals[:, c:c + 1], upd)
+            return upd
+
+        fk2 = put(st["fk"], sp)
+        fl2 = put(st["fl"], ep)
+        fi2 = put(st["fi"], jnp.broadcast_to((i - 1)[:, None], (B, 4)))
+        fz2 = put(st["fz"], nz)
+        size2 = st["size"] + jnp.sum(push, axis=1).astype(jnp.int32)
+        return dict(
+            fk=fk2, fl=fl2, fi=fi2, fz=fz2,
+            head=st["head"] + live.astype(jnp.int32),
+            size=jnp.where(live, size2, st["size"]),
+            ok=ok2, os=os2, n=n2, ovf=ovf,
+        )
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st["ok"], st["os"], st["n"], st["ovf"]

@@ -104,3 +104,33 @@ def test_save_load_roundtrip(tmp_path, world):
     assert r2.shift == rmi.shift and r2.k == rmi.k
     qk = pack_pattern(x[100:100 + K])
     assert r2.lookup_host(qk) == rmi.lookup_host(qk)
+
+
+def test_inexact_search_one_mismatch(world):
+    """Brute-force oracle: occurrence POSITIONS of all patterns within
+    hamming distance z of the query."""
+    from fgdp_tpu.ops.exact import inexact_search
+
+    rng, ref, x, fm, rmi = world
+    dfm = DeviceFMIndex.from_host(fm)
+    B, L = 16, 17
+    reads = np.zeros((B, L), np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, len(x) - L))
+        r = x[p:p + L].copy()
+        if i % 2:
+            r[int(rng.integers(0, L))] = (r[int(rng.integers(0, L))] + 1) % 4
+        reads[i] = r
+    lens = np.full(B, L, np.int32)
+    ks, ss, cnt, ovf = inexact_search(dfm, jnp.asarray(reads),
+                                      jnp.asarray(lens), z=1, max_out=64)
+    assert not bool(np.asarray(ovf).any())
+    for b in range(B):
+        got = set()
+        for j in range(int(cnt[b])):
+            for r in range(int(ks[b, j]), int(ks[b, j]) + int(ss[b, j])):
+                got.add(int(fm.sa[r]))
+        pat = reads[b]
+        want = {p for p in range(len(x) - L + 1)
+                if np.sum(x[p:p + L] != pat) <= 1}
+        assert got == want, b
