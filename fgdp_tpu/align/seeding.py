@@ -80,7 +80,7 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         jnp.where(fq & (qslot >= NK), jnp.arange(B * S) // S, B)
     ].max(fq & (qslot >= NK), mode="drop")
 
-    k2lanes = smemops.smem_one_pos_lanes(
+    k2lanes, _ = smemops.smem_one_pos_lanes(
         dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x, job_mi,
         k_on, opt.min_seed_len, prev_cap, lane_emit_cap)
     seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on, B,

@@ -640,10 +640,11 @@ class LaneSeeds(NamedTuple):
 def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
                        ridx, x, min_intv, active, min_seed_len: int,
                        prev_cap: int, max_out: int,
-                       two_step: bool = True) -> LaneSeeds:
+                       two_step: bool = True, into: LaneSeeds | None = None):
     """getSMEMsOnePosOneThread over NL independent (read, anchor) lanes.
     codes int32[B, L]; ridx/x/min_intv int32[NL]; active bool[NL].
-    Emissions land in per-lane buffers in machine order."""
+    Emissions land in per-lane buffers in machine order (appended to
+    `into` when given). Returns (LaneSeeds, next_x int32[NL])."""
     NL = ridx.shape[0]
     B, L = codes.shape
     P = prev_cap
@@ -667,12 +668,14 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
     num_prev = fw["num_prev"]
     pm, pn, pk, ps = fw["pm"], fw["pn"], fw["pk"], fw["ps"]
 
-    out0 = LaneSeeds(m=jnp.zeros((NL, SA), jnp.int32),
-                     n=jnp.zeros((NL, SA), jnp.int32),
-                     k=jnp.zeros((NL, SA), jnp.int32),
-                     s=jnp.zeros((NL, SA), jnp.int32),
-                     count=jnp.zeros(NL, jnp.int32),
-                     overflow=fw["povf"])
+    if into is None:
+        into = LaneSeeds(m=jnp.zeros((NL, SA), jnp.int32),
+                         n=jnp.zeros((NL, SA), jnp.int32),
+                         k=jnp.zeros((NL, SA), jnp.int32),
+                         s=jnp.zeros((NL, SA), jnp.int32),
+                         count=jnp.zeros(NL, jnp.int32),
+                         overflow=jnp.zeros(NL, bool))
+    out0 = into._replace(overflow=into.overflow | fw["povf"])
 
     def emit(seeds: LaneSeeds, mask, em, en, ek, es):
         can = mask & (seeds.count < SA)
@@ -698,8 +701,9 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
     final = started & (st["num_prev"] > 0)
     fl = st["pn"][:, 0] - st["pm"][:, 0] + 1
     do_emit = final & (fl >= min_seed_len)
-    return emit(st["seeds"], do_emit, st["pm"][:, 0], st["pn"][:, 0],
-                st["pk"][:, 0], st["ps"][:, 0])
+    out = emit(st["seeds"], do_emit, st["pm"][:, 0], st["pn"][:, 0],
+               st["pk"][:, 0], st["ps"][:, 0])
+    return out, fw["next_x"]
 
 
 def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
@@ -759,31 +763,79 @@ def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
 
 def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
                  active, min_seed_len: int, max_seeds: int, prev_cap: int,
-                 two_step: bool = True):
+                 two_step: bool = True, tail_frac: int = 4,
+                 lane_emit_cap: int = 24):
     """K1: anchors sweep left to right until every lane is exhausted.
 
     two_step selects the lambert 2-chars-per-gather-pair bodies. Measured
     on v5e: the K1 frontier (short backward walks, while-step bound) is
     ~15% FASTER one-step; the K2 re-seed lanes (long walks) are ~3x
-    faster two-step — callers pick per kernel."""
+    faster two-step — callers pick per kernel.
+
+    Straggler tiering: per-step cost scales with lane width, and anchor
+    waves 4+ run at <25% occupancy (1024/602/280/209/87/... live lanes
+    per wave on 151bp 1%-err reads) — once <= B/tail_frac reads still
+    have anchors, the frontier compacts them into a B/tail_frac-wide
+    machine whose emissions merge back per read. tail_frac=1 disables."""
     B, L = codes.shape
     seeds0 = _empty_seeds(B, max_seeds)
+    NT = max(B // tail_frac, 1) if tail_frac > 1 else 0
+
+    def live(x):
+        return active & (x < lens)
 
     def cond(st):
         x, seeds = st
-        return jnp.any(active & (x < lens))
+        n_live = jnp.sum(live(x).astype(jnp.int32))
+        return (n_live > NT) if NT else (n_live > 0)
 
     def body(st):
         x, seeds = st
-        lane_on = active & (x < lens)
+        lane_on = live(x)
         seeds, next_x = smem_one_pos(fm, ref_codes, l_pac, codes, lens, x,
                                      min_intv, lane_on, min_seed_len, seeds,
                                      prev_cap, two_step=two_step)
         x = jnp.where(lane_on, next_x, x)
         return (x, seeds)
 
-    _, seeds = jax.lax.while_loop(cond, body, (jnp.zeros(B, jnp.int32), seeds0))
-    return seeds
+    x, seeds = jax.lax.while_loop(cond, body,
+                                  (jnp.zeros(B, jnp.int32), seeds0))
+    if not NT:
+        return seeds
+
+    # ---- tail tier: compact remaining reads into NT lanes ----
+    rem = live(x)
+    order = jnp.argsort(jnp.where(rem, jnp.arange(B, dtype=jnp.int32),
+                                  B + jnp.arange(B, dtype=jnp.int32)))
+    ridx = order[:NT]                            # ascending read ids first
+    lane_on0 = rem[ridx]
+    x_l = x[ridx]
+    mi_l = min_intv[ridx]
+    lens_l = lens[ridx]
+
+    SA = lane_emit_cap
+    lanes0 = LaneSeeds(m=jnp.zeros((NT, SA), jnp.int32),
+                       n=jnp.zeros((NT, SA), jnp.int32),
+                       k=jnp.zeros((NT, SA), jnp.int32),
+                       s=jnp.zeros((NT, SA), jnp.int32),
+                       count=jnp.zeros(NT, jnp.int32),
+                       overflow=jnp.zeros(NT, bool))
+
+    def tcond(st):
+        x_l, lanes = st
+        return jnp.any(lane_on0 & (x_l < lens_l))
+
+    def tbody(st):
+        x_l, lanes = st
+        on = lane_on0 & (x_l < lens_l)
+        lanes, nx = smem_one_pos_lanes(
+            fm, ref_codes, l_pac, codes, lens, ridx, x_l, mi_l, on,
+            min_seed_len, prev_cap, SA, two_step=two_step, into=lanes)
+        return (jnp.where(on, nx, x_l), lanes)
+
+    _, lanes = jax.lax.while_loop(tcond, tbody, (x_l, lanes0))
+    return merge_lane_seeds(lanes, ridx, jnp.zeros(NT, jnp.int32),
+                            lane_on0, B, max_seeds, into=seeds)
 
 
 # --------------------------------------------------------------------------
