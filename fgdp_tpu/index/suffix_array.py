@@ -19,10 +19,19 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     Returns int64[n]: SA[r] = start of the r-th smallest suffix. The
     virtual terminator is smaller than any symbol, so a proper prefix
     sorts before its extensions (out-of-range rank key = -1).
+
+    Uses the native linear-time SA-IS (native/fgdp_native.cc
+    suffix_array_u8) when available — O(n) time/memory, the WGS-scale
+    path — with this prefix-doubling construction as the fallback.
     """
     n = len(codes)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if np.asarray(codes).max(initial=0) < 255:
+        from ..io import native
+        sa = native.suffix_array_u8(np.asarray(codes, np.uint8))
+        if sa is not None:
+            return sa
     rank = codes.astype(np.int64)
     k = 1
     while True:

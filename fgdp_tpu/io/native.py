@@ -42,6 +42,7 @@ def get_lib():
         lib.assign_rid_pairid.restype = None
         lib.encode_bam_records.restype = ctypes.c_int64
         lib.bgzf_compress_parallel.restype = ctypes.c_int64
+        lib.suffix_array_u8.restype = ctypes.c_int64
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -195,3 +196,16 @@ def bgzf_compress(data: bytes, level: int = 6, threads: int = 8):
               min(n - b * MAX_BLOCK, MAX_BLOCK) if n else 0)
              for b in range(n_blocks)]
     return bytes(out[:w]), table
+
+
+def suffix_array_u8(codes: np.ndarray):
+    """Linear-time SA-IS over uint8 codes, or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(codes, np.uint8)
+    sa = np.zeros(len(s), np.int64)
+    n = lib.suffix_array_u8(s.ctypes.data_as(ctypes.c_char_p),
+                            ctypes.c_int64(len(s)),
+                            _ptr(sa, ctypes.c_int64))
+    return sa if n == len(s) else None

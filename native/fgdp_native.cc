@@ -700,3 +700,141 @@ int64_t bgzf_compress_parallel(const char* data, int64_t n, int level,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------------
+// SA-IS linear-time suffix array (Nong/Zhang/Chan induced sorting).
+// Plays the role of the reference's BWT-SW index construction
+// (bwa-mem2-lcp src/bwtindex.cpp:197, bwt_bwtgen2) at WGS scale, where
+// the Python prefix-doubling builder's O(n log^2 n) sorts stop being
+// practical. Written from the published algorithm; validated against
+// the Python builder lane-for-lane in tests.
+// ----------------------------------------------------------------------
+
+#include <vector>
+
+namespace sais {
+
+static inline bool is_lms(const std::vector<bool>& st, int64_t i) {
+    return i > 0 && st[i] && !st[i - 1];
+}
+
+template <typename T>
+static void buckets(const T* s, int64_t n, int64_t K,
+                    std::vector<int64_t>& bkt, bool ends) {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
+    int64_t sum = 0;
+    for (int64_t c = 0; c < K; c++) {
+        sum += bkt[c];
+        bkt[c] = ends ? sum : sum - bkt[c];
+    }
+}
+
+template <typename T>
+static void induce(const T* s, int64_t* SA, int64_t n, int64_t K,
+                   const std::vector<bool>& st,
+                   std::vector<int64_t>& bkt) {
+    // L from bucket heads
+    buckets(s, n, K, bkt, false);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = SA[i] - 1;
+        if (SA[i] > 0 && !st[j]) SA[bkt[s[j]]++] = j;
+    }
+    // S from bucket ends
+    buckets(s, n, K, bkt, true);
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int64_t j = SA[i] - 1;
+        if (SA[i] > 0 && st[j]) SA[--bkt[s[j]]] = j;
+    }
+}
+
+// s[n-1] must be the unique smallest symbol (sentinel).
+template <typename T>
+static void core(const T* s, int64_t* SA, int64_t n, int64_t K) {
+    if (n == 1) { SA[0] = 0; return; }
+    std::vector<bool> st(n);
+    st[n - 1] = true;
+    for (int64_t i = n - 2; i >= 0; i--)
+        st[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && st[i + 1]);
+    std::vector<int64_t> bkt(K);
+
+    // pass 1: place LMS suffixes arbitrarily, induce to sort LMS substrings
+    std::fill(SA, SA + n, -1);
+    buckets(s, n, K, bkt, true);
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(st, i)) SA[--bkt[s[i]]] = i;
+    induce(s, SA, n, K, st, bkt);
+
+    // compact sorted LMS suffixes
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(st, SA[i])) SA[n1++] = SA[i];
+
+    // name LMS substrings
+    int64_t* s1 = SA + n1;               // reuse tail of SA for names
+    std::fill(s1, SA + n, -1);
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n1; i++) {
+        int64_t pos = SA[i];
+        bool diff = false;
+        if (prev == -1) diff = true;
+        else {
+            for (int64_t d = 0;; d++) {
+                if (s[pos + d] != s[prev + d] ||
+                    st[pos + d] != st[prev + d]) { diff = true; break; }
+                if (d > 0 && (is_lms(st, pos + d) || is_lms(st, prev + d)))
+                    break;               // both LMS ends, equal substring
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        s1[pos / 2] = name - 1;
+    }
+    // compact names into a dense reduced string (in LMS text order)
+    int64_t m = 0;
+    for (int64_t i = 0; i < n - n1; i++)
+        if (s1[i] >= 0) s1[m++] = s1[i];
+
+    if (name < n1) {                     // names not unique: recurse
+        core(s1, SA, n1, name);
+    } else {
+        for (int64_t i = 0; i < n1; i++) SA[s1[i]] = i;
+    }
+    // map reduced SA back to LMS positions (text order list of LMS)
+    std::vector<int64_t> lms(n1);
+    {
+        int64_t j = 0;
+        for (int64_t i = 1; i < n; i++)
+            if (is_lms(st, i)) lms[j++] = i;
+    }
+    for (int64_t i = 0; i < n1; i++) SA[i] = lms[SA[i]];
+
+    // pass 2: place sorted LMS at bucket ends, induce final SA
+    std::fill(SA + n1, SA + n, -1);
+    buckets(s, n, K, bkt, true);
+    for (int64_t i = n1 - 1; i >= 0; i--) {
+        int64_t j = SA[i];
+        SA[i] = -1;
+        SA[--bkt[s[j]]] = j;
+    }
+    induce(s, SA, n, K, st, bkt);
+}
+
+}  // namespace sais
+
+extern "C" int64_t suffix_array_u8(const uint8_t* s, int64_t n,
+                                   int64_t* sa_out) {
+    // SA of s under virtual-terminator comparison (terminator smallest):
+    // run SA-IS on s+1 with a 0 sentinel appended, drop the sentinel row.
+    if (n <= 0) return 0;
+    std::vector<int32_t> t(n + 1);
+    int64_t K = 0;
+    for (int64_t i = 0; i < n; i++) {
+        t[i] = (int32_t)s[i] + 1;
+        if (t[i] >= K) K = t[i] + 1;
+    }
+    t[n] = 0;
+    std::vector<int64_t> SA(n + 1);
+    sais::core(t.data(), SA.data(), n + 1, K);
+    for (int64_t i = 1; i <= n; i++) sa_out[i - 1] = SA[i];
+    return n;
+}

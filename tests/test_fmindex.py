@@ -172,3 +172,26 @@ def test_fetch_window_matches_elementwise():
     want_r = dref.fetch(start[:, None] + (T - 1) - tt)
     got_r = dref.fetch_window(start, T, reverse=True)
     assert np.array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_native_sais_matches_doubling():
+    from fgdp_tpu.index import suffix_array as samod
+    from fgdp_tpu.io import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(9)
+    cases = [rng.integers(0, 4, n).astype(np.uint8)
+             for n in (1, 2, 3, 7, 50, 1000, 4096)]
+    cases.append(np.zeros(64, np.uint8))                 # all-A runs
+    cases.append(np.tile([0, 1], 40).astype(np.uint8))   # period-2
+    cases.append(np.tile([2, 2, 1], 33).astype(np.uint8))
+    for c in cases:
+        want = samod._suffix_array_doubling(c) \
+            if hasattr(samod, "_suffix_array_doubling") else None
+        got = native.suffix_array_u8(c)
+        # independent check: sorted order of suffixes
+        n = len(c)
+        sfx = sorted(range(n), key=lambda i: tuple(c[i:]))
+        assert np.array_equal(got, np.asarray(sfx, np.int64)), len(c)
