@@ -843,20 +843,79 @@ def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
 # --------------------------------------------------------------------------
 
 def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
-                  min_seed_len: int, max_seeds: int):
-    """Flattened state machine: each step is either an anchor restart or one
-    forward extension per lane (bwtSeedStrategyAllPosOneThread,
-    FMI_search.cpp:1400-1488)."""
+                  min_seed_len: int, max_seeds: int, tail_frac: int = 1):
+    """Flattened state machine: each step is either an anchor restart or
+    one forward extension per lane (bwtSeedStrategyAllPosOneThread,
+    FMI_search.cpp:1400-1488). Straggler tiering like smem_all_pos is
+    available via tail_frac but OFF by default: K3 sweeps every
+    position of every read, so lanes finish near-simultaneously and
+    the compaction never pays (measured neutral-to-negative)."""
     B, L = codes.shape
     seeds0 = _empty_seeds(B, max_seeds)
+    NT = max(B // tail_frac, 1) if tail_frac > 1 else 0
+
+    st = _seed_strategy_loop(fm, codes, lens, active,
+                             max_intv, min_seed_len, seeds0, _append_seed,
+                             None, NT)
+    seeds, x, j, kk, ll, ss, mm, nn, started = st
+    if not NT:
+        return seeds
+
+    rem = active & (x < lens)
+    order = jnp.argsort(jnp.where(rem, jnp.arange(B, dtype=jnp.int32),
+                                  B + jnp.arange(B, dtype=jnp.int32)))
+    ridx = order[:NT]
+    on = rem[ridx]
+    SA = max(max_seeds // 2, 8)
+    lanes0 = LaneSeeds(m=jnp.zeros((NT, SA), jnp.int32),
+                       n=jnp.zeros((NT, SA), jnp.int32),
+                       k=jnp.zeros((NT, SA), jnp.int32),
+                       s=jnp.zeros((NT, SA), jnp.int32),
+                       count=jnp.zeros(NT, jnp.int32),
+                       overflow=jnp.zeros(NT, bool))
+
+    def lane_emit(seeds_l, mask, em, en, ek, es):
+        can = mask & (seeds_l.count < SA)
+        oh = (jnp.arange(SA)[None, :] == seeds_l.count[:, None]) \
+            & can[:, None]
+        upd = lambda dst, v: jnp.where(oh, v[:, None], dst)
+        return LaneSeeds(
+            m=upd(seeds_l.m, em), n=upd(seeds_l.n, en),
+            k=upd(seeds_l.k, ek), s=upd(seeds_l.s, es),
+            count=seeds_l.count + can.astype(jnp.int32),
+            overflow=seeds_l.overflow | (mask & (seeds_l.count >= SA)))
+
+    carry = (x[ridx], j[ridx], kk[ridx], ll[ridx], ss[ridx], mm[ridx],
+             nn[ridx], started[ridx])
+    st2 = _seed_strategy_loop(fm, codes[ridx], lens[ridx],
+                              on, max_intv, min_seed_len, lanes0,
+                              lane_emit, carry, 0)
+    lanes = st2[0]
+    return merge_lane_seeds(lanes, ridx, jnp.zeros(NT, jnp.int32), on, B,
+                            max_seeds, into=seeds)
+
+
+def _seed_strategy_loop(fm, codes, lens, active,
+                        max_intv, min_seed_len, seeds0, append, carry,
+                        stop_at: int):
+    """Shared K3 machine over read-space or compacted lanes. Exits when
+    live lanes <= stop_at. Returns (seeds, x, j, k, l, s, m, n,
+    started)."""
+    B, L = codes.shape
     z = jnp.zeros(B, jnp.int32)
 
-    st0 = dict(x=z, j=z, k=z, l=z, s=z, m=z, n=z,
-               started=jnp.zeros(B, bool), seeds=seeds0,
-               steps=jnp.int32(0))
+    if carry is None:
+        st0 = dict(x=z, j=z, k=z, l=z, s=z, m=z, n=z,
+                   started=jnp.zeros(B, bool), seeds=seeds0,
+                   steps=jnp.int32(0))
+    else:
+        x0, j0, k0, l0, s0, m0, n0, sd0 = carry
+        st0 = dict(x=x0, j=j0, k=k0, l=l0, s=s0, m=m0, n=n0,
+                   started=sd0, seeds=seeds0, steps=jnp.int32(0))
 
     def cond(st):
-        return jnp.any(active & (st["x"] < lens)) & (st["steps"] < 2 * L * L)
+        n_live = jnp.sum((active & (st["x"] < lens)).astype(jnp.int32))
+        return (n_live > stop_at) & (st["steps"] < 2 * L * L)
 
     def body(st):
         lane_on = active & (st["x"] < lens)
@@ -897,7 +956,7 @@ def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
         n = jnp.where(go0, j, n)
         hit0 = go0 & (s1 < max_intv) & ((j - m + 1) >= min_seed_len)
         emit0 = hit0 & (s1 > 0)
-        seeds = _append_seed(st["seeds"], emit0, m, n, k, s)
+        seeds = append(st["seeds"], emit0, m, n, k, s)
         x = jnp.where(hit0, j + 1, x)
         started = started & ~hit0
         j = jnp.where(go0 & ~hit0, j + 1, j)
@@ -918,7 +977,7 @@ def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
         n = jnp.where(go1, j, n)
         hit1 = go1 & (s2 < max_intv) & ((j - m + 1) >= min_seed_len)
         emit1 = hit1 & (s2 > 0)
-        seeds = _append_seed(seeds, emit1, m, n, k, s)
+        seeds = append(seeds, emit1, m, n, k, s)
         x = jnp.where(hit1, j + 1, x)
         started = started & ~hit1
         j = jnp.where(go1 & ~hit1, j + 1, j)
@@ -927,4 +986,5 @@ def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
                     seeds=seeds, steps=st["steps"] + 1)
 
     st = jax.lax.while_loop(cond, body, st0)
-    return st["seeds"]
+    return (st["seeds"], st["x"], st["j"], st["k"], st["l"], st["s"],
+            st["m"], st["n"], st["started"])

@@ -165,3 +165,18 @@ def test_full_collect_pipeline_matches(world):
         k1, k2, k3 = oracles.collect_smems_ref(fm, reads[b], opt)
         want = oracle_to_sets(k1 + k2 + k3, fm)
         assert got[b] == want, f"read {b}"
+
+
+def test_device_k3_tail_tiering_matches(world):
+    """K3 straggler compaction path (off by default) stays exact."""
+    rng, ref, fm, dfm, refc = world
+    reads = make_reads(rng, ref)
+    B, L = reads.shape
+    a = smemops.seed_strategy(
+        dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
+        jnp.ones(B, bool), max_intv=20, min_seed_len=11, max_seeds=64)
+    b = smemops.seed_strategy(
+        dfm, jnp.asarray(reads, jnp.int32), jnp.full(B, L, jnp.int32),
+        jnp.ones(B, bool), max_intv=20, min_seed_len=11, max_seeds=64,
+        tail_frac=4)
+    assert seeds_to_sets(a, B, fm) == seeds_to_sets(b, B, fm)
