@@ -142,3 +142,34 @@ def test_assembly_recovers_variant_haplotype(world):
     haps = assembly.assemble_region(seg, reads)
     assert any(not h.is_ref and bytes(h.bases) == bytes(alt_seg)
                for h in haps), len(haps)
+
+
+def test_deletion_called(world):
+    rng, ref = world
+    vpos = 2000
+    tumor = _cover(ref, rng, (1900, 2100), depth=24,
+                   muts=[("del", vpos, 4)], frac=0.6)
+    eng = Mutect2Engine(ref, "chr1")
+    calls = eng.call(tumor)
+    hits = [c for c in calls if abs(c.pos - vpos) <= 4 and
+            len(c.ref) > len(c.alt)]
+    assert hits, calls
+
+
+def test_snv_with_sequencing_errors(world):
+    """1% random errors + 30% VAF SNV: the adaptive pruner must drop
+    the error branches while the shared variant haplotype survives."""
+    rng, ref = world
+    vpos = 2200
+    alt = int((ref[vpos] + 2) % 4)
+    tumor = _cover(ref, rng, (2100, 2300), depth=12,
+                   muts=[(vpos, alt)], frac=1.0)
+    tumor += _cover(ref, rng, (2100, 2300), depth=28)
+    for rd in tumor:                      # sprinkle sequencing errors
+        m = rng.random(len(rd["seq_codes"])) < 0.01
+        rd["seq_codes"] = np.where(
+            m, rng.integers(0, 4, len(rd["seq_codes"])), rd["seq_codes"])
+    eng = Mutect2Engine(ref, "chr1")
+    calls = eng.call(tumor)
+    hits = [c for c in calls if c.pos == vpos and c.alt == "ACGTN"[alt]]
+    assert hits, [(c.pos, c.ref, c.alt) for c in calls]
