@@ -60,10 +60,15 @@ def test_cli_full_pipeline(tiny_world):
     cli.main(["mutect", "-R", str(fa), "-I", str(bam), "-O", str(vcf)])
     assert vcf.read_text().startswith("##fileformat")
 
-    # streamed pipeline (stage overlap) must produce the identical BAM
+    # streamed pipeline (stage overlap) must produce the identical BAM,
+    # and its --vcf chain must match the standalone mutect output
     bam2 = tmp / "out2.bam"
+    vcf2 = tmp / "out2.vcf"
     cli.main(["pipeline", prefix, str(r1p), str(r2p), "-O", str(bam2),
-              "-b", "96"])
+              "-b", "96", "--vcf", str(vcf2), "-R", str(fa)])
     assert bam2.read_bytes() == bam.read_bytes()
     assert (tmp / "out2.bam.bai").read_bytes() == \
         (tmp / "out.bam.bai").read_bytes()
+    strip = lambda t: [ln for ln in t.splitlines()
+                       if not ln.startswith("##fileDate")]
+    assert strip(vcf2.read_text()) == strip(vcf.read_text())
