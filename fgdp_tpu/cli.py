@@ -41,7 +41,46 @@ def cmd_index(args):
           file=sys.stderr)
 
 
-def _load_aligner(prefix, batch, output_all=False):
+def _mem_opt(args):
+    """mem_opt_t from CLI flags incl. -x read-type profiles
+    (reference src/fastmap.cpp:656-860): explicit flags win over the
+    profile, matching the opt0-tracking update rules."""
+    import dataclasses
+
+    from .config import AlignConfig
+
+    explicit = {k: v for k, v in dict(
+        min_seed_len=args.k, w=args.w, a=args.A, b=args.B,
+        T=args.T, zdrop=args.d, split_factor=args.r, max_occ=args.c,
+        max_mem_intv=args.y, drop_ratio=args.D, max_matesw=args.m,
+        pen_unpaired=args.U, chunk_size=args.K,
+        max_XA_hits=getattr(args, "h0", None),
+    ).items() if v is not None}
+    if args.O is not None:
+        explicit["o_del"] = explicit["o_ins"] = args.O
+    if args.E is not None:
+        explicit["e_del"] = explicit["e_ins"] = args.E
+    if args.L is not None:
+        explicit["pen_clip5"] = explicit["pen_clip3"] = args.L
+    prof = {}
+    if args.read_type:
+        if args.read_type == "intractg":
+            prof = dict(o_del=16, o_ins=16, b=9, pen_clip5=5, pen_clip3=5)
+        elif args.read_type in ("pacbio", "pbref", "ont2d"):
+            prof = dict(o_del=1, e_del=1, o_ins=1, e_ins=1, b=1,
+                        split_factor=10.0, pen_clip5=0, pen_clip3=0,
+                        min_chain_weight=20 if args.read_type == "ont2d"
+                        else 40,
+                        min_seed_len=14 if args.read_type == "ont2d"
+                        else 17)
+        else:
+            raise SystemExit(f"unknown read type '{args.read_type}'")
+    prof.update(explicit)          # explicit flags win (opt0 semantics)
+    prof["output_all"] = bool(args.all_alignments)
+    return dataclasses.replace(AlignConfig(), **prof)
+
+
+def _load_aligner(prefix, batch, opt=None, output_all=False):
     from .config import AlignConfig, BatchShapes
     from .index.fmindex import FMIndex
     from .index.reference import PackedReference
@@ -49,8 +88,9 @@ def _load_aligner(prefix, batch, output_all=False):
 
     pref = PackedReference.load(prefix + ".ref")
     fm = FMIndex.load(prefix + ".fmi")
-    return Aligner(pref, fm, opt=AlignConfig(output_all=output_all),
-                   shapes=BatchShapes(batch_reads=batch))
+    if opt is None:
+        opt = AlignConfig(output_all=output_all)
+    return Aligner(pref, fm, opt=opt, shapes=BatchShapes(batch_reads=batch))
 
 
 def _read_batches(paths, batch):
@@ -90,10 +130,9 @@ def cmd_mem(args):
     from .pipeline_stream import stream_mem
     from .utils.profiling import PROF, SAM_IO
 
-    aligner = _load_aligner(args.prefix, args.batch,
-                            output_all=args.all_alignments)
+    aligner = _load_aligner(args.prefix, args.batch, opt=_mem_opt(args))
     out = open(args.output, "w") if args.output else sys.stdout
-    for ln in aligner.sam_header():
+    for ln in aligner.sam_header(rg_line=args.rg):
         out.write(ln + "\n")
     t0 = time.time()
 
@@ -241,6 +280,28 @@ def main(argv=None):
     pm.add_argument("-b", "--batch", type=int, default=512)
     pm.add_argument("-a", dest="all_alignments", action="store_true",
                     help="output all alignments (MEM_F_ALL)")
+    # mem_opt_t flags (reference fastmap.cpp:656-799); None = default
+    pm.add_argument("-k", type=int, help="min seed length [19]")
+    pm.add_argument("-w", type=int, help="band width [100]")
+    pm.add_argument("-A", type=int, help="match score [1]")
+    pm.add_argument("-B", type=int, help="mismatch penalty [4]")
+    pm.add_argument("-O", type=int, help="gap open penalty [6]")
+    pm.add_argument("-E", type=int, help="gap extension penalty [1]")
+    pm.add_argument("-L", type=int, help="clipping penalty [5]")
+    pm.add_argument("-T", type=int, help="min output score [30]")
+    pm.add_argument("-d", type=int, help="Z-dropoff [100]")
+    pm.add_argument("-r", type=float, help="re-seed split factor [1.5]")
+    pm.add_argument("-c", type=int, help="max seed occurrences [500]")
+    pm.add_argument("-y", type=int, help="K3 seed-strategy cap [20]")
+    pm.add_argument("-D", type=float, help="chain drop ratio [0.5]")
+    pm.add_argument("-m", type=int, help="mate-rescue rounds [50]")
+    pm.add_argument("-U", type=int, help="unpaired penalty [17]")
+    pm.add_argument("-K", type=int, help="chunk size in bp [10000000]")
+    pm.add_argument("-H", dest="h0", type=int,
+                    help="max XA hits [5] (reference -h)")
+    pm.add_argument("-x", dest="read_type",
+                    help="read type: pacbio/ont2d/intractg")
+    pm.add_argument("-R", dest="rg", help="read group header line")
     pm.set_defaults(fn=cmd_mem)
 
     ps = sub.add_parser("sormadup")

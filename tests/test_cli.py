@@ -72,3 +72,38 @@ def test_cli_full_pipeline(tiny_world):
     strip = lambda t: [ln for ln in t.splitlines()
                        if not ln.startswith("##fileDate")]
     assert strip(vcf2.read_text()) == strip(vcf.read_text())
+
+
+def test_mem_opt_flags_and_profiles():
+    """mem_opt_t CLI surface: explicit flags override -x profiles
+    (fastmap.cpp:656-860 opt0 semantics)."""
+    import argparse
+
+    from fgdp_tpu.cli import _mem_opt
+
+    def parse(extra):
+        p = argparse.ArgumentParser()
+        from fgdp_tpu import cli as c
+        ns = argparse.Namespace(
+            k=None, w=None, A=None, B=None, O=None, E=None, L=None,
+            T=None, d=None, r=None, c=None, y=None, D=None, m=None,
+            U=None, K=None, h0=None, read_type=None, rg=None,
+            all_alignments=False)
+        ns.__dict__.update(extra)
+        return ns
+
+    o = _mem_opt(parse({}))
+    assert (o.min_seed_len, o.b, o.o_del) == (19, 4, 6)
+    o = _mem_opt(parse({"read_type": "pacbio"}))
+    assert (o.min_seed_len, o.b, o.o_del, o.e_del) == (17, 1, 1, 1)
+    assert o.split_factor == 10.0 and o.min_chain_weight == 40
+    o = _mem_opt(parse({"read_type": "ont2d"}))
+    assert o.min_seed_len == 14 and o.min_chain_weight == 20
+    # explicit flag beats the profile
+    o = _mem_opt(parse({"read_type": "pacbio", "k": 25, "B": 7}))
+    assert o.min_seed_len == 25 and o.b == 7
+    o = _mem_opt(parse({"read_type": "intractg"}))
+    assert (o.b, o.o_del, o.pen_clip5) == (9, 16, 5)
+    o = _mem_opt(parse({"O": 10, "L": 3, "T": 40}))
+    assert (o.o_del, o.o_ins, o.pen_clip5, o.pen_clip3, o.T) == \
+        (10, 10, 3, 3, 40)
