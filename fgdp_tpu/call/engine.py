@@ -211,7 +211,6 @@ class Mutect2Engine:
             from .cnn_filter import CnnFilter
             self.cnn = CnnFilter(cnn_model_path)
 
-    CALLABLE_DEPTH = 10   # M2ArgumentCollection callableDepth default
 
     def call(self, tumor_reads, normal_reads=()):
         """tumor_reads/normal_reads: list of dicts (pos, cigar, seq_codes,
@@ -231,7 +230,8 @@ class Mutect2Engine:
             n_reads = _reads_for_span(normal_reads, rstart, rend)
             tp = activity.build_pileup(t_reads, rstart, rend, self.ref, 0,
                                        cfg.pcr_error_qual)
-            self.callable_sites += int((tp.depth >= self.CALLABLE_DEPTH).sum())
+            self.callable_sites += int(
+                (tp.depth >= self.cfg.callable_depth).sum())
             np_ = activity.build_pileup(n_reads, rstart, rend, self.ref, 0,
                                         cfg.pcr_error_qual) \
                 if n_reads else None

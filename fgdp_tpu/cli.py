@@ -211,6 +211,24 @@ def cmd_mutect(args):
         tr = BQSRReadTransformer(args.bqsr_normal)
         for r in normal:
             tr.apply(r)
+    import dataclasses
+
+    from .config import CallConfig
+
+    cfg = CallConfig()
+    overrides = {k: v for k, v in dict(
+        callable_depth=args.callable_depth,
+        max_prob_propagation_distance=args.max_prob_propagation_distance,
+        active_prob_threshold=args.active_probability_threshold,
+        assembly_region_padding=args.assembly_region_padding,
+        max_assembly_region_size=args.max_assembly_region_size,
+        min_assembly_region_size=args.min_assembly_region_size,
+        max_reads_per_alignment_start=args.max_reads_per_alignment_start,
+    ).items() if v is not None}
+    if args.kmer_size:
+        overrides["kmer_sizes"] = tuple(sorted(args.kmer_size))
+    cfg = dataclasses.replace(cfg, **overrides)
+
     all_calls = []
     callable_sites = 0
     from .call.transformers import palindrome_artifact_clip
@@ -223,7 +241,8 @@ def cmd_mutect(args):
         # per-read hairpin-artifact clip (ReadCache.cpp:27,115)
         for r in t + nr:
             palindrome_artifact_clip(r, codes)
-        eng = Mutect2Engine(codes, cname, cnn_model_path=args.deep_model)
+        eng = Mutect2Engine(codes, cname, cfg=cfg,
+                            cnn_model_path=args.deep_model)
         all_calls.extend(eng.call(t, nr))
         callable_sites += eng.callable_sites
     # FilterMutectCalls 2-pass (reference main.cpp:643-662)
@@ -260,7 +279,12 @@ def cmd_pipeline(args):
         mt = argparse.Namespace(
             reference=args.reference, input=args.output,
             normal=args.normal, output=args.vcf, deep_model=None,
-            bqsr_tumor=None, bqsr_normal=None)
+            bqsr_tumor=None, bqsr_normal=None, callable_depth=None,
+            max_prob_propagation_distance=None,
+            active_probability_threshold=None,
+            assembly_region_padding=None, max_assembly_region_size=None,
+            min_assembly_region_size=None,
+            max_reads_per_alignment_start=None, kmer_size=None)
         cmd_mutect(mt)
 
 
@@ -318,6 +342,16 @@ def main(argv=None):
     pc.add_argument("--deep-model", help="TorchScript CNN gate (trans.pt)")
     pc.add_argument("--bqsr-tumor", help="GATK recal table for tumor reads")
     pc.add_argument("--bqsr-normal", help="GATK recal table for normal reads")
+    # M2ArgumentCollection long options (reference main.cpp:449-531)
+    pc.add_argument("--callable-depth", type=int)
+    pc.add_argument("--max-prob-propagation-distance", type=int)
+    pc.add_argument("--active-probability-threshold", type=float)
+    pc.add_argument("--assembly-region-padding", type=int)
+    pc.add_argument("--max-assembly-region-size", type=int)
+    pc.add_argument("--min-assembly-region-size", type=int)
+    pc.add_argument("--max-reads-per-alignment-start", type=int)
+    pc.add_argument("--kmer-size", type=int, action="append",
+                    help="assembly kmer size (repeatable) [10, 25]")
     pc.set_defaults(fn=cmd_mutect)
 
     pp = sub.add_parser("pipeline",

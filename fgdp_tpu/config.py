@@ -121,6 +121,7 @@ class CallConfig:
     defaults deepmutect main.cpp:447 = {10,50,0.002,100,50,300,""})."""
 
     kmer_sizes: tuple = (10, 25)
+    callable_depth: int = 10         # --callable-depth (main.cpp:1000)
     max_prob_propagation_distance: int = 50
     active_prob_threshold: float = 0.002
     assembly_region_padding: int = 100
