@@ -160,3 +160,37 @@ def test_sort_markdup_file_streaming(rng, tmp_path):
     # batch boundaries change BGZF block layout (and hence voffsets);
     # the decoded content must be identical
     assert bamio.read_bam(b3) == bamio.read_bam(b2)
+
+
+def test_sormadup_stdin_pipe(tmp_path):
+    """`sormadup -` ingests piped SAM (the reference's stdin path,
+    sortmardup/main.cpp:84-91) — run as a real subprocess pipe."""
+    import os
+    import subprocess
+    import sys
+
+    from fgdp_tpu.io import bam as bamio
+
+    sam = "\n".join([
+        "@HD\tVN:1.6",
+        "@SQ\tSN:c1\tLN:1000",
+        "r1\t99\tc1\t100\t60\t50M\t=\t200\t150\tACGTA\tIIIII",
+        "r1\t147\tc1\t200\t60\t50M\t=\t100\t-150\tACGTA\tIIIII",
+        "r2\t99\tc1\t100\t60\t50M\t=\t200\t150\tACGTA\tIIIII",
+        "r2\t147\tc1\t200\t60\t50M\t=\t100\t-150\tACGTA\tIIIII",
+        "r3\t0\tc1\t300\t60\t50M\t*\t0\t0\tACGTA\tIIIII",
+    ]) + "\n"
+    out = tmp_path / "o.bam"
+    # drop the axon sitecustomize (PYTHONPATH) so the subprocess cannot
+    # touch the TPU relay; force the CPU backend
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "fgdp_tpu", "sormadup", "-", str(out)],
+        input=sam.encode(), env=env, capture_output=True, timeout=300)
+    assert res.returncode == 0, res.stderr.decode()[-500:]
+    _, names, lens, records = bamio.read_bam(out)
+    assert names == ["c1"] and len(records) == 5
+    # one of the two identical pairs is duplicate-flagged
+    dups = [r for r in records if r["flag"] & 0x400]
+    assert len(dups) == 2 and (out.parent / "o.bam.bai").exists()
