@@ -174,3 +174,20 @@ def test_golden_alt_contigs():
     xa_match = sum(_tags(rf).get("XA") == _tags(ours[k]).get("XA")
                    for k, rf in ref.items())
     assert xa_match >= 46, xa_match
+
+
+def test_golden_option_flags():
+    """Non-default mem_opt flags (-k 25 -T 40 -B 5 -L 3) against the
+    reference binary run with the same flags — validates the option
+    plumbing end to end."""
+    from fgdp_tpu.config import AlignConfig
+
+    pref = PackedReference.from_fasta(os.path.join(HERE, "alt_ref.fa"))
+    opt = AlignConfig(min_seed_len=25, T=40, b=5, pen_clip5=3,
+                      pen_clip3=3)
+    al = Aligner.build(pref, opt=opt, shapes=SHAPES)
+    names, seqs, quals = _load_fastq(os.path.join(HERE, "alt.fq"))
+    lines = al.align_batch(names, seqs, quals)
+    with open(os.path.join(HERE, "opt.oracle.sam")) as f:
+        oracle = f.read().splitlines()
+    _compare(oracle, lines, CORE, 48, 47, len(names))
