@@ -148,9 +148,20 @@ def cmd_mem(args):
     # write ride worker threads while the device aligns the next batch;
     # device/finalize time is attributed inside the Aligner
     # (MEM_DEVICE / JIT_COMPILE / WORKER_SAM phases).
-    n = stream_mem(aligner, _timed_batches(args.reads, args.batch),
-                   write_line, paired=len(args.reads) == 2,
-                   progress=progress)
+    paired = len(args.reads) == 2
+    if args.finalize_workers > 0 and not paired:
+        from .pipeline_stream import FinalizePool, stream_mem_pooled
+        pool = FinalizePool(args.prefix + ".ref", aligner.opt,
+                            args.finalize_workers)
+        try:
+            n = stream_mem_pooled(aligner,
+                                  _timed_batches(args.reads, args.batch),
+                                  write_line, pool, progress=progress)
+        finally:
+            pool.shutdown()
+    else:
+        n = stream_mem(aligner, _timed_batches(args.reads, args.batch),
+                       write_line, paired=paired, progress=progress)
     if args.output:
         out.close()
     PROF.display_stats(units=n, unit_name="reads")
@@ -326,6 +337,9 @@ def main(argv=None):
     pm.add_argument("-x", dest="read_type",
                     help="read type: pacbio/ont2d/intractg")
     pm.add_argument("-R", dest="rg", help="read group header line")
+    pm.add_argument("-t", "--finalize-workers", type=int, default=0,
+                    help="SAM-finalize worker processes (worker_sam "
+                         "team analogue; single-end only) [0]")
     pm.set_defaults(fn=cmd_mem)
 
     ps = sub.add_parser("sormadup")

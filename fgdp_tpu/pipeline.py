@@ -80,28 +80,8 @@ class Aligner:
 
         regs_np = self._device_regs(seq_codes)
         with PROF.phase(WORKER_SAM):
-            reg_lists = self._reg_lists(seq_codes, regs_np)
-            # batch the reg2aln DP (CIGAR/MD) across the whole read batch
-            jobs = []
-            job_of = []
-            for b, rl in enumerate(reg_lists):
-                finalize.mark_primary(self.opt, rl, id0 + b)
-                codes = np.asarray(seq_codes[b], np.int64)
-                for k in finalize.selected_regs(self.opt, rl):
-                    jobs.append((codes, rl[k]))
-                    job_of.append((b, k))
-            alns = finalize.reg2aln_batch(self.pref, self.opt, jobs) \
-                if jobs else []
-            aln_maps = [dict() for _ in reg_lists]
-            for (b, k), a in zip(job_of, alns):
-                aln_maps[b][k] = a
-            out = []
-            for b, rl in enumerate(reg_lists):
-                qual = quals[b] if quals else None
-                out.extend(finalize.reg2sam(
-                    self.pref, self.opt, names[b],
-                    np.asarray(seq_codes[b], np.int64), qual, rl, id0 + b,
-                    alns_by_k=aln_maps[b]))
+            out = finalize_se_batch(self.pref, self.opt, self.shapes,
+                                    names, seq_codes, quals, regs_np, id0)
         return out
 
     def align_pairs(self, names, seq_codes, quals=None, id0: int = 0):
@@ -156,6 +136,38 @@ class Aligner:
         return regs
 
     def _reg_lists(self, seq_codes, regs):
+        return _reg_lists_np(self.pref, self.opt, seq_codes, regs)
+
+
+def finalize_se_batch(pref, opt, shapes, names, seq_codes, quals, regs_np,
+                      id0):
+    """Host finalize for a single-end batch: device regs -> SAM lines.
+    Module-level and numpy-only so worker processes can run it
+    (pipeline_stream.FinalizePool)."""
+    reg_lists = _reg_lists_np(pref, opt, seq_codes, regs_np)
+    # batch the reg2aln DP (CIGAR/MD) across the whole read batch
+    jobs = []
+    job_of = []
+    for b, rl in enumerate(reg_lists):
+        finalize.mark_primary(opt, rl, id0 + b)
+        codes = np.asarray(seq_codes[b], np.int64)
+        for k in finalize.selected_regs(opt, rl):
+            jobs.append((codes, rl[k]))
+            job_of.append((b, k))
+    alns = finalize.reg2aln_batch(pref, opt, jobs) if jobs else []
+    aln_maps = [dict() for _ in reg_lists]
+    for (b, k), a in zip(job_of, alns):
+        aln_maps[b][k] = a
+    out = []
+    for b, rl in enumerate(reg_lists):
+        qual = quals[b] if quals else None
+        out.extend(finalize.reg2sam(
+            pref, opt, names[b], np.asarray(seq_codes[b], np.int64),
+            qual, rl, id0 + b, alns_by_k=aln_maps[b]))
+    return out
+
+
+def _reg_lists_np(pref, opt, seq_codes, regs):
         """Device regs -> per-read dict lists through dedup/patch,
         sorted by score (mem_sort_dedup_patch output order)."""
         out = []
@@ -176,11 +188,11 @@ class Aligner:
                     seedlen0=int(regs["seedlen0"][b, e]),
                     frac_rep=float(regs["frac_rep"][b]),
                     sub=0, csub=0, sub_n=0,
-                    is_alt=bool(self.pref.is_alt[rid]) if rid >= 0
+                    is_alt=bool(pref.is_alt[rid]) if rid >= 0
                     else False,
                 ))
             rl = [r for r in rl if r["qe"] > r["qb"]]
             codes = np.asarray(seq_codes[b], np.int64)
-            rl = finalize.sort_dedup_patch(self.pref, self.opt, codes, rl)
+            rl = finalize.sort_dedup_patch(pref, opt, codes, rl)
             out.append(rl)
         return out

@@ -236,3 +236,87 @@ def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
         if progress is not None:
             progress(n)
     return n, sd.finish()
+
+
+# ----------------------------------------------------------------------
+# Finalize worker pool: the host-side SAM finalization (~1 ms/read of
+# pure-Python CIGAR/MD/tag work) caps the CLI at ~1k reads/s against a
+# ~4.5k reads/s device — the reference spreads exactly this work over
+# its worker_sam kt_for team (src/bwamem.cpp:1845). Spawned processes
+# (fork is unsafe after jax init) each load the packed reference from
+# the index artifact and run pipeline.finalize_se_batch.
+# ----------------------------------------------------------------------
+
+_W_PREF = None
+_W_OPT = None
+
+
+def _finalize_worker_init(pref_path, opt):
+    global _W_PREF, _W_OPT
+    from .index.reference import PackedReference
+
+    _W_PREF = PackedReference.load(pref_path)
+    _W_OPT = opt
+
+
+def _finalize_worker_run(args):
+    from . import pipeline as pipemod
+
+    names, seqs, quals, regs_np, id0 = args
+    return pipemod.finalize_se_batch(_W_PREF, _W_OPT, None, names, seqs,
+                                     quals, regs_np, id0)
+
+
+class FinalizePool:
+    """Process pool for single-end finalize; submission order is
+    delivery order."""
+
+    def __init__(self, pref_path: str, opt, workers: int):
+        import concurrent.futures
+        import multiprocessing
+        import os
+
+        # children must not touch the TPU relay: strip the axon
+        # sitecustomize from their PYTHONPATH and pin the cpu backend
+        pp = [p for p in os.environ.get("PYTHONPATH", "").split(":")
+              if p and "axon" not in p]
+        os.environ["PYTHONPATH"] = ":".join(pp)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        ctx = multiprocessing.get_context("spawn")
+        self._ex = concurrent.futures.ProcessPoolExecutor(
+            max_workers=workers, mp_context=ctx,
+            initializer=_finalize_worker_init, initargs=(pref_path, opt))
+
+    def submit(self, names, seqs, quals, regs_np, id0):
+        seqs = [np.asarray(s) for s in seqs]
+        return self._ex.submit(_finalize_worker_run,
+                               (names, seqs, quals, regs_np, id0))
+
+    def shutdown(self):
+        self._ex.shutdown()
+
+
+def stream_mem_pooled(aligner, batch_iter, write_line, pool: FinalizePool,
+                      depth: int = 3, progress=None):
+    """stream_mem with finalize fanned out to worker processes
+    (single-end only). The device stays busy while N workers chew the
+    Python SAM work; lines are written in submission order."""
+    import collections
+
+    writer = LineWriter(write_line, depth=2 * depth)
+    pending = collections.deque()
+    n = 0
+    try:
+        for names, seqs, quals in Prefetcher(batch_iter, depth):
+            regs_np = aligner._device_regs(seqs)
+            pending.append(pool.submit(names, seqs, quals, regs_np, n))
+            n += len(names)
+            while len(pending) > depth:
+                writer.put(pending.popleft().result())
+            if progress is not None:
+                progress(n)
+        while pending:
+            writer.put(pending.popleft().result())
+    finally:
+        writer.close()
+    return n

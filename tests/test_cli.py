@@ -107,3 +107,19 @@ def test_mem_opt_flags_and_profiles():
     o = _mem_opt(parse({"O": 10, "L": 3, "T": 40}))
     assert (o.o_del, o.o_ins, o.pen_clip5, o.pen_clip3, o.T) == \
         (10, 10, 3, 3, 40)
+
+
+def test_mem_finalize_workers_identical(tiny_world):
+    """-t N (worker_sam pool analogue): pooled finalize output is
+    line-identical to the in-process path (single-end)."""
+    tmp, fa, r1p, r2p, ref_codes = tiny_world
+    prefix = str(tmp / "idx")          # built by the e2e test? ensure:
+    import os
+    if not os.path.exists(prefix + ".ref.npz"):
+        cli.main(["index", str(fa), prefix])
+    a = tmp / "se_a.sam"
+    b = tmp / "se_b.sam"
+    cli.main(["mem", prefix, str(r1p), "-o", str(a), "-b", "64"])
+    cli.main(["mem", prefix, str(r1p), "-o", str(b), "-b", "64",
+              "-t", "2"])
+    assert a.read_text() == b.read_text()
