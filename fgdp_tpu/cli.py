@@ -149,14 +149,15 @@ def cmd_mem(args):
     # device/finalize time is attributed inside the Aligner
     # (MEM_DEVICE / JIT_COMPILE / WORKER_SAM phases).
     paired = len(args.reads) == 2
-    if args.finalize_workers > 0 and not paired:
+    if args.finalize_workers > 0:
         from .pipeline_stream import FinalizePool, stream_mem_pooled
         pool = FinalizePool(args.prefix + ".ref", aligner.opt,
                             args.finalize_workers)
         try:
             n = stream_mem_pooled(aligner,
                                   _timed_batches(args.reads, args.batch),
-                                  write_line, pool, progress=progress)
+                                  write_line, pool, paired=paired,
+                                  progress=progress)
         finally:
             pool.shutdown()
     else:
@@ -339,7 +340,7 @@ def main(argv=None):
     pm.add_argument("-R", dest="rg", help="read group header line")
     pm.add_argument("-t", "--finalize-workers", type=int, default=0,
                     help="SAM-finalize worker processes (worker_sam "
-                         "team analogue; single-end only) [0]")
+                         "team analogue) [0]")
     pm.set_defaults(fn=cmd_mem)
 
     ps = sub.add_parser("sormadup")

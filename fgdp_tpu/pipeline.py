@@ -95,22 +95,8 @@ class Aligner:
         assert B % 2 == 0
         regs_np = self._device_regs(seq_codes)
         with PROF.phase(WORKER_SAM):
-            reg_lists = self._reg_lists(seq_codes, regs_np)
-            reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
-                         for i in range(B // 2)]
-            pes = pairmod.pestat(self.opt, self.pref.l_pac, reg_pairs)
-            out = []
-            for i in range(B // 2):
-                q1 = quals[2 * i] if quals else None
-                q2 = quals[2 * i + 1] if quals else None
-                l0, l1 = pairmod.sam_pe(
-                    self.opt, self.pref, pes, id0 + i,
-                    (names[2 * i], names[2 * i + 1]),
-                    (np.asarray(seq_codes[2 * i], np.int64),
-                     np.asarray(seq_codes[2 * i + 1], np.int64)),
-                    (q1, q2), list(reg_pairs[i]))
-                out.extend(l0)
-                out.extend(l1)
+            out = finalize_pe_batch(self.pref, self.opt, names, seq_codes,
+                                    quals, regs_np, id0)
         return out
 
     def _device_regs(self, seq_codes):
@@ -164,6 +150,32 @@ def finalize_se_batch(pref, opt, shapes, names, seq_codes, quals, regs_np,
         out.extend(finalize.reg2sam(
             pref, opt, names[b], np.asarray(seq_codes[b], np.int64),
             qual, rl, id0 + b, alns_by_k=aln_maps[b]))
+    return out
+
+
+def finalize_pe_batch(pref, opt, names, seq_codes, quals, regs_np, id0):
+    """Host finalize for a paired-end batch (insert-size inference +
+    pairing + SAM); module-level for worker processes. seq_codes are
+    interleaved [r1_0, r2_0, ...]; id0 counts PAIRS."""
+    from .align import pair as pairmod
+
+    B = len(seq_codes)
+    reg_lists = _reg_lists_np(pref, opt, seq_codes, regs_np)
+    reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
+                 for i in range(B // 2)]
+    pes = pairmod.pestat(opt, pref.l_pac, reg_pairs)
+    out = []
+    for i in range(B // 2):
+        q1 = quals[2 * i] if quals else None
+        q2 = quals[2 * i + 1] if quals else None
+        l0, l1 = pairmod.sam_pe(
+            opt, pref, pes, id0 + i,
+            (names[2 * i], names[2 * i + 1]),
+            (np.asarray(seq_codes[2 * i], np.int64),
+             np.asarray(seq_codes[2 * i + 1], np.int64)),
+            (q1, q2), list(reg_pairs[i]))
+        out.extend(l0)
+        out.extend(l1)
     return out
 
 

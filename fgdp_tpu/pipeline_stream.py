@@ -262,7 +262,10 @@ def _finalize_worker_init(pref_path, opt):
 def _finalize_worker_run(args):
     from . import pipeline as pipemod
 
-    names, seqs, quals, regs_np, id0 = args
+    names, seqs, quals, regs_np, id0, paired = args
+    if paired:
+        return pipemod.finalize_pe_batch(_W_PREF, _W_OPT, names, seqs,
+                                         quals, regs_np, id0)
     return pipemod.finalize_se_batch(_W_PREF, _W_OPT, None, names, seqs,
                                      quals, regs_np, id0)
 
@@ -287,20 +290,21 @@ class FinalizePool:
             max_workers=workers, mp_context=ctx,
             initializer=_finalize_worker_init, initargs=(pref_path, opt))
 
-    def submit(self, names, seqs, quals, regs_np, id0):
+    def submit(self, names, seqs, quals, regs_np, id0, paired=False):
         seqs = [np.asarray(s) for s in seqs]
         return self._ex.submit(_finalize_worker_run,
-                               (names, seqs, quals, regs_np, id0))
+                               (names, seqs, quals, regs_np, id0, paired))
 
     def shutdown(self):
         self._ex.shutdown()
 
 
 def stream_mem_pooled(aligner, batch_iter, write_line, pool: FinalizePool,
-                      depth: int = 3, progress=None):
-    """stream_mem with finalize fanned out to worker processes
-    (single-end only). The device stays busy while N workers chew the
-    Python SAM work; lines are written in submission order."""
+                      paired: bool = False, depth: int = 3,
+                      progress=None):
+    """stream_mem with finalize fanned out to worker processes. The
+    device stays busy while N workers chew the Python SAM work; lines
+    are written in submission order."""
     import collections
 
     writer = LineWriter(write_line, depth=2 * depth)
@@ -309,7 +313,8 @@ def stream_mem_pooled(aligner, batch_iter, write_line, pool: FinalizePool,
     try:
         for names, seqs, quals in Prefetcher(batch_iter, depth):
             regs_np = aligner._device_regs(seqs)
-            pending.append(pool.submit(names, seqs, quals, regs_np, n))
+            pending.append(pool.submit(names, seqs, quals, regs_np, n,
+                                       paired))
             n += len(names)
             while len(pending) > depth:
                 writer.put(pending.popleft().result())

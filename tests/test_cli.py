@@ -123,3 +123,17 @@ def test_mem_finalize_workers_identical(tiny_world):
     cli.main(["mem", prefix, str(r1p), "-o", str(b), "-b", "64",
               "-t", "2"])
     assert a.read_text() == b.read_text()
+
+
+def test_mem_finalize_workers_pe_identical(tiny_world):
+    tmp, fa, r1p, r2p, ref_codes = tiny_world
+    prefix = str(tmp / "idx")
+    import os
+    if not os.path.exists(prefix + ".ref.npz"):
+        cli.main(["index", str(fa), prefix])
+    a = tmp / "pe_a.sam"
+    b = tmp / "pe_b.sam"
+    cli.main(["mem", prefix, str(r1p), str(r2p), "-o", str(a), "-b", "64"])
+    cli.main(["mem", prefix, str(r1p), str(r2p), "-o", str(b), "-b", "64",
+              "-t", "2"])
+    assert a.read_text() == b.read_text()
