@@ -475,9 +475,8 @@ def prune_low_weight_chains(g: ReadThreadingGraph,
     error_rate = error_count / max(total_bases, 1)
     to_remove = _likely_error_chains(chains, error_rate, log_odds)
     for i in to_remove:
-        for e in chains[i]:
-            if e in e.source.out_edges:      # may repeat across chains? no
-                g.remove_edge(e)
+        for e in chains[i]:      # chains partition edges: no repeats
+            g.remove_edge(e)
     g.remove_singleton_orphans()
 
 
