@@ -194,3 +194,37 @@ def test_sormadup_stdin_pipe(tmp_path):
     # one of the two identical pairs is duplicate-flagged
     dups = [r for r in records if r["flag"] & 0x400]
     assert len(dups) == 2 and (out.parent / "o.bam.bai").exists()
+
+
+def test_bam_is_standard_bgzf_gzip(tmp_path):
+    """The BAM container must be standard: Python's gzip module (an
+    independent DEFLATE implementation) decodes BGZF members, the BAM
+    magic + header parse, and the BAI starts with its magic."""
+    import gzip
+    import struct
+
+    from fgdp_tpu.sortdup.driver import sort_markdup
+
+    sam = [
+        "@HD\tVN:1.6",
+        "@SQ\tSN:c1\tLN:1000",
+        "r1\t0\tc1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII",
+        "r2\t16\tc1\t50\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII",
+    ]
+    out = tmp_path / "x.bam"
+    n, _ = sort_markdup(sam, str(out))
+    assert n == 2
+    raw = gzip.decompress(out.read_bytes())   # multi-member stream
+    assert raw[:4] == b"BAM\x01"
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", raw[off:off + 4])[0]
+    assert n_ref == 1
+    bai = (tmp_path / "x.bam.bai").read_bytes()
+    assert bai[:4] == b"BAI\x01"
+    # records sorted by coordinate: first block_size then refID/pos
+    off += 4
+    l_name = struct.unpack("<i", raw[off:off + 4])[0]
+    off += 4 + l_name + 4                      # name + l_ref
+    first_pos = struct.unpack("<i", raw[off + 8:off + 12])[0]
+    assert first_pos == 49                     # r2 at 0-based 49 first
