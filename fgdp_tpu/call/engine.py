@@ -289,6 +289,32 @@ class Mutect2Engine:
         t_lik = _pairhmm_matrix(t_reads, hap_bases)     # [H, Rt] log10
         n_lik = _pairhmm_matrix(n_reads, hap_bases) if n_reads else None
 
+        # realignReadsToTheirBestHaplotype (AssemblyBasedCallerUtils
+        # .cpp:163): annotation pileups (MBQ/MPOS) see indel-aware
+        # coordinates. Reads whose best haplotype is the reference keep
+        # their aligner coordinates (they already match the ref).
+        from . import realign as realignmod
+        best_h = np.argmax(t_lik, axis=0)
+        hap_cigars = [None if h.is_ref else
+                      genotype.haplotype_cigar(h.bases, ref_seg)
+                      for h in haps]
+        ann_reads = []
+        for r_i, rd in enumerate(t_reads):
+            h = int(best_h[r_i])
+            if haps[h].is_ref or hap_cigars[h] is None:
+                ann_reads.append(rd)
+                continue
+            try:
+                new_pos, new_cig = realignmod.realign_read(
+                    rd["seq_codes"], haps[h].bases, hap_cigars[h],
+                    span[0])
+                rd2 = dict(rd)
+                rd2["pos"] = new_pos
+                rd2["cigar"] = new_cig
+                ann_reads.append(rd2)
+            except Exception:      # noqa: BLE001 - annotation fallback
+                ann_reads.append(rd)
+
         calls = []
         site_lods = {}
         for (pos, ref_a, alt_a), ev in sorted(all_events.items()):
@@ -325,7 +351,7 @@ class Mutect2Engine:
             ad_ref = int((~assign & informative).sum())
             depth = tm.shape[1]
             af = ad_alt / max(ad_ref + ad_alt, 1)
-            ann = _allele_annotations(t_reads, assign, informative, pos)
+            ann = _allele_annotations(ann_reads, assign, informative, pos)
             indel_len = len(alt_a) - len(ref_a)
             unit_len, rep_count = _str_context(
                 self.ref, pos + 1) if indel_len != 0 else (0, 0)

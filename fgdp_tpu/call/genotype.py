@@ -29,14 +29,21 @@ class Event:
     alt: str
 
 
-def haplotype_events(hap, ref, ref_start: int, opt=None):
-    """Align haplotype to the region reference and extract variant events
-    (SNVs, insertions, deletions) in VCF-style coordinates."""
+def haplotype_cigar(hap, ref, opt=None):
+    """Haplotype→region-reference global cigar (CigarUtils::
+    calculateCigar role)."""
     from ..config import AlignConfig
     opt = opt or AlignConfig()
     mat = opt.score_matrix()
     _, cigar = ksw_global(hap, ref, opt.o_del, opt.e_del, opt.o_ins,
                           opt.e_ins, max(len(hap), len(ref)), mat)
+    return cigar
+
+
+def haplotype_events(hap, ref, ref_start: int, opt=None):
+    """Align haplotype to the region reference and extract variant events
+    (SNVs, insertions, deletions) in VCF-style coordinates."""
+    cigar = haplotype_cigar(hap, ref, opt)
     events = []
     x = y = 0            # x: hap, y: ref
     bases = "ACGTN"
