@@ -5,9 +5,9 @@ src/Mutect2Engine.cpp:168-244 and main.cpp region scheduler): activity
 profile -> assembly regions -> local assembly -> PairHMM likelihoods
 (device, ops/pairhmm.py) -> somatic genotyping -> VCF records.
 
-Round-1 scope: tumor(+optional normal) calling with emission-threshold
-and germline/weak-evidence filters; BQSR, the CNN gate, the full
-FilterMutectCalls pass set and clustering are not yet ported.
+The region loop is pipelined: while the device computes a region's
+PairHMM, the host assembles the next region (SURVEY §7.3.4 — the TPU
+analogue of the reference hiding assembly behind region parallelism).
 """
 
 from __future__ import annotations
@@ -67,14 +67,21 @@ def _reads_for_span(reads, start, end):
 
 
 def _pairhmm_matrix(reads, haps):
-    """log10 likelihood matrix [H, R] via the device PairHMM.
+    return _pairhmm_matrix_async(reads, haps)()
+
+
+def _pairhmm_matrix_async(reads, haps):
+    """Dispatch the device PairHMM for a [H, R] log10 matrix; returns a
+    collect() thunk so the caller can overlap host work (the next
+    region's assembly) with the device pass — the TPU analogue of the
+    reference's region/PairHMM work-steal overlap (main.cpp:367-423).
 
     Identical (bases, quals) reads share one computed column — the
     reference's read dedup (VectorLoglessPairHMM.cpp:53-114)."""
     H = len(haps)
     R = len(reads)
     if H == 0 or R == 0:
-        return np.zeros((H, R))
+        return lambda: np.zeros((H, R))
     keys = {}
     rep = []          # unique read indices
     col_of = np.zeros(R, np.int64)
@@ -87,8 +94,8 @@ def _pairhmm_matrix(reads, haps):
             col_of[i] = len(rep)
             rep.append(i)
     if len(rep) < R:
-        uniq = _pairhmm_matrix([reads[i] for i in rep], haps)
-        return uniq[:, col_of]
+        inner = _pairhmm_matrix_async([reads[i] for i in rep], haps)
+        return lambda: inner()[:, col_of]
     rmax = max(len(r["seq_codes"]) for r in reads)
     hmax = max(len(h) for h in haps)
     NP = H * R
@@ -110,9 +117,9 @@ def _pairhmm_matrix(reads, haps):
             h_arr[p, :len(h)] = h
             hlens[p] = len(h)
             p += 1
-    liks = pairhmm.compute_log_likelihoods(r_arr, rlens, q, iq, dq, cq,
-                                           h_arr, hlens)
-    return liks.reshape(H, R)
+    collect = pairhmm.compute_log_likelihoods_async(
+        r_arr, rlens, q, iq, dq, cq, h_arr, hlens)
+    return lambda: collect().reshape(H, R)
 
 
 def _read_offset_at(rd, pos):
@@ -222,6 +229,7 @@ class Mutect2Engine:
         n = len(self.ref)
         self.callable_sites = 0
         calls = []
+        active_regions = []
         for rstart in range(0, n, cfg.region_size):
             rend = min(rstart + cfg.region_size, n)
             t_reads = _reads_for_span(tumor_reads, rstart, rend)
@@ -244,19 +252,38 @@ class Mutect2Engine:
             for reg in regions:
                 if not reg.is_active:
                     continue
-                calls.extend(self._call_region(reg, tumor_reads,
-                                               normal_reads))
+                active_regions.append(reg)
+
+        # two-stage pipeline: dispatch region i's PairHMM, assemble
+        # region i+1 on host, then finish region i
+        pending = None
+        for reg in active_regions:
+            prep = self._prepare_region(reg, tumor_reads, normal_reads)
+            disp = self._dispatch_region(prep) if prep else None
+            if pending is not None:
+                calls.extend(self._finish_region(*pending))
+            pending = (prep, disp) if prep else None
+        if pending is not None:
+            calls.extend(self._finish_region(*pending))
         calls.sort(key=lambda c: c.pos)
         return calls
 
     def _call_region(self, reg, tumor_reads, normal_reads):
+        prep = self._prepare_region(reg, tumor_reads, normal_reads)
+        if prep is None:
+            return []
+        return self._finish_region(prep, self._dispatch_region(prep))
+
+    def _prepare_region(self, reg, tumor_reads, normal_reads):
+        """Host stage: reads, assembly, events, CNN gate. Returns the
+        region context dict or None when nothing to call."""
         cfg = self.cfg
         span = (reg.padded_start, reg.padded_end)
         ref_seg = self.ref[span[0]:span[1]].astype(np.uint8)
         t_reads = _reads_for_span(tumor_reads, *span)
         n_reads = _reads_for_span(normal_reads, *span)
         if not t_reads:
-            return []
+            return None
         for rd in t_reads:
             rd.setdefault("sample", "tumor")
         for rd in n_reads:
@@ -264,7 +291,7 @@ class Mutect2Engine:
         haps = assembly.assemble_region(ref_seg, t_reads + n_reads,
                                         kmer_sizes=cfg.kmer_sizes)
         if len(haps) <= 1:
-            return []
+            return None
         hap_bases = [h.bases for h in haps]
         # events per haplotype
         hap_events = [[] if h.is_ref else
@@ -276,7 +303,7 @@ class Mutect2Engine:
                 if reg.start <= e.pos < reg.end:
                     all_events[(e.pos, e.ref, e.alt)] = e
         if not all_events:
-            return []
+            return None
 
         # CNN gate ("deep" mode): dense regions the classifier deems
         # germline/noise are skipped wholesale (main.cpp:213-221)
@@ -284,10 +311,31 @@ class Mutect2Engine:
             for (pos, _, _) in sorted(all_events):
                 if self.cnn.is_germline_or_noise(self.ref, t_reads,
                                                  n_reads, pos):
-                    return []
+                    return None
+        return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
+                    n_reads=n_reads, haps=haps, hap_bases=hap_bases,
+                    hap_events=hap_events, all_events=all_events)
 
-        t_lik = _pairhmm_matrix(t_reads, hap_bases)     # [H, Rt] log10
-        n_lik = _pairhmm_matrix(n_reads, hap_bases) if n_reads else None
+    def _dispatch_region(self, prep):
+        """Device stage: async PairHMM dispatch for both samples."""
+        t_fut = _pairhmm_matrix_async(prep["t_reads"], prep["hap_bases"])
+        n_fut = _pairhmm_matrix_async(prep["n_reads"], prep["hap_bases"]) \
+            if prep["n_reads"] else None
+        return t_fut, n_fut
+
+    def _finish_region(self, prep, futs):
+        t_fut, n_fut = futs
+        span = prep["span"]
+        ref_seg = prep["ref_seg"]
+        reg = prep["reg"]
+        t_reads = prep["t_reads"]
+        n_reads = prep["n_reads"]
+        haps = prep["haps"]
+        hap_bases = prep["hap_bases"]
+        hap_events = prep["hap_events"]
+        all_events = prep["all_events"]
+        t_lik = t_fut()                               # [H, Rt] log10
+        n_lik = n_fut() if n_fut is not None else None
 
         # realignReadsToTheirBestHaplotype (AssemblyBasedCallerUtils
         # .cpp:163): annotation pileups (MBQ/MPOS) see indel-aware

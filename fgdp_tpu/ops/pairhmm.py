@@ -198,12 +198,12 @@ def _use_pallas() -> bool:
         return False
 
 
-def compute_log_likelihoods(reads, rlens, quals, i_quals, d_quals, c_quals,
-                            haps, hlens):
-    """Full GKL semantics: f32 first, f64 rerun where the scaled result
-    under-flowed (result < MIN_ACCEPTED after unscaling,
-    IntelPairHmm.cc:340-349). Host-facing: numpy in/out. Uses the Pallas
-    kernel on accelerators, the jnp row-loop on CPU (bit-identical)."""
+def compute_log_likelihoods_async(reads, rlens, quals, i_quals, d_quals,
+                                  c_quals, haps, hlens):
+    """Dispatch the f32 device pass and return a collect() thunk that
+    syncs, applies the f64 underflow fallback, and returns the numpy
+    result — lets callers overlap host work (e.g. the next region's
+    assembly) with the device computation."""
     ph2pr32 = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
     pq32 = ph2pr32[np.clip(quals, 0, 127)]
     tr32 = transitions(i_quals, d_quals, c_quals, np.float32)
@@ -211,21 +211,35 @@ def compute_log_likelihoods(reads, rlens, quals, i_quals, d_quals, c_quals,
         from .pairhmm_pallas import forward_f32_pallas as fwd
     else:
         fwd = forward_f32
-    out, raw = fwd(jnp.asarray(reads, jnp.int32),
-                   jnp.asarray(rlens, jnp.int32),
-                   jnp.asarray(pq32), jnp.asarray(tr32),
-                   jnp.asarray(haps, jnp.int32),
-                   jnp.asarray(hlens, jnp.int32))
-    out = np.asarray(out).astype(np.float64)
-    raw = np.asarray(raw)
-    # unscaled result = raw / 2^120; fallback when < MIN_ACCEPTED
-    bad = (raw.astype(np.float64) / (2.0 ** 120)) < MIN_ACCEPTED
-    if bad.any():
-        idx = np.flatnonzero(bad)
-        ph2pr64 = 10.0 ** (-np.arange(128) / 10.0)
-        pq64 = ph2pr64[np.clip(quals[idx], 0, 127)]
-        tr64 = transitions(i_quals[idx], d_quals[idx], c_quals[idx],
-                           np.float64)
-        out[idx] = forward_f64(reads[idx], rlens[idx], pq64, tr64,
-                               haps[idx], hlens[idx])
-    return out
+    out_d, raw_d = fwd(jnp.asarray(reads, jnp.int32),
+                       jnp.asarray(rlens, jnp.int32),
+                       jnp.asarray(pq32), jnp.asarray(tr32),
+                       jnp.asarray(haps, jnp.int32),
+                       jnp.asarray(hlens, jnp.int32))
+
+    def collect():
+        out = np.asarray(out_d).astype(np.float64)
+        raw = np.asarray(raw_d)
+        # unscaled result = raw / 2^120; fallback when < MIN_ACCEPTED
+        bad = (raw.astype(np.float64) / (2.0 ** 120)) < MIN_ACCEPTED
+        if bad.any():
+            idx = np.flatnonzero(bad)
+            ph2pr64 = 10.0 ** (-np.arange(128) / 10.0)
+            pq64 = ph2pr64[np.clip(quals[idx], 0, 127)]
+            tr64 = transitions(i_quals[idx], d_quals[idx], c_quals[idx],
+                               np.float64)
+            out[idx] = forward_f64(reads[idx], rlens[idx], pq64, tr64,
+                                   haps[idx], hlens[idx])
+        return out
+
+    return collect
+
+
+def compute_log_likelihoods(reads, rlens, quals, i_quals, d_quals, c_quals,
+                            haps, hlens):
+    """Full GKL semantics: f32 first, f64 rerun where the scaled result
+    under-flowed (result < MIN_ACCEPTED after unscaling,
+    IntelPairHmm.cc:340-349). Host-facing: numpy in/out. Uses the Pallas
+    kernel on accelerators, the jnp row-loop on CPU (bit-identical)."""
+    return compute_log_likelihoods_async(reads, rlens, quals, i_quals,
+                                         d_quals, c_quals, haps, hlens)()
