@@ -254,17 +254,21 @@ class Mutect2Engine:
                     continue
                 active_regions.append(reg)
 
-        # two-stage pipeline: dispatch region i's PairHMM, assemble
-        # region i+1 on host, then finish region i
-        pending = None
+        # pipelined regions: dispatch region i's PairHMM, assemble the
+        # following regions on host while the device crunches; finish in
+        # order. Depth > 1 keeps several small regions in flight (the
+        # reference's device-wide PairHMM batching analogue).
+        import collections
+        DEPTH = 3
+        pending = collections.deque()
         for reg in active_regions:
             prep = self._prepare_region(reg, tumor_reads, normal_reads)
-            disp = self._dispatch_region(prep) if prep else None
-            if pending is not None:
-                calls.extend(self._finish_region(*pending))
-            pending = (prep, disp) if prep else None
-        if pending is not None:
-            calls.extend(self._finish_region(*pending))
+            if prep is not None:
+                pending.append((prep, self._dispatch_region(prep)))
+            while len(pending) >= DEPTH:
+                calls.extend(self._finish_region(*pending.popleft()))
+        while pending:
+            calls.extend(self._finish_region(*pending.popleft()))
         calls.sort(key=lambda c: c.pos)
         return calls
 
