@@ -173,3 +173,27 @@ def test_snv_with_sequencing_errors(world):
     calls = eng.call(tumor)
     hits = [c for c in calls if c.pos == vpos and c.alt == "ACGTN"[alt]]
     assert hits, [(c.pos, c.ref, c.alt) for c in calls]
+
+
+def test_many_regions_pipelined(world):
+    """Several separated variants -> multiple active regions in flight
+    (the pipelined region loop must finish all of them, in order)."""
+    _, ref = world
+    rng = np.random.default_rng(123)   # order-independent reads
+    vpos = [400, 900, 1400, 1900, 2300]
+    tumor = []
+    alts = {}
+    for vp in vpos:
+        alt = int((ref[vp] + 1) % 4)
+        alts[vp] = alt
+        tumor += _cover(ref, rng, (vp - 100, vp + 100), depth=16,
+                        muts=[(vp, alt)], frac=0.8)
+        tumor += _cover(ref, rng, (vp - 100, vp + 100), depth=8)
+    eng = Mutect2Engine(ref, "chr1")
+    calls = eng.call(tumor)
+    poss = sorted(c.pos for c in calls)
+    assert poss == sorted(set(poss))          # sorted, unique
+    for vp in vpos:
+        hits = [c for c in calls if c.pos == vp and
+                c.alt == "ACGTN"[alts[vp]]]
+        assert hits, (vp, [(c.pos, c.alt) for c in calls])
