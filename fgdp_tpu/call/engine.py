@@ -297,10 +297,15 @@ class Mutect2Engine:
         if len(haps) <= 1:
             return None
         hap_bases = [h.bases for h in haps]
-        # events per haplotype
-        hap_events = [[] if h.is_ref else
-                      genotype.haplotype_events(h.bases, ref_seg, span[0])
+        # one hap->ref alignment per haplotype, shared by event
+        # extraction and read realignment
+        hap_cigars = [None if h.is_ref else
+                      genotype.haplotype_cigar(h.bases, ref_seg)
                       for h in haps]
+        hap_events = [[] if h.is_ref else
+                      genotype.haplotype_events(h.bases, ref_seg, span[0],
+                                                cigar=hap_cigars[i])
+                      for i, h in enumerate(haps)]
         all_events = {}
         for evs in hap_events:
             for e in evs:
@@ -318,7 +323,8 @@ class Mutect2Engine:
                     return None
         return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
                     n_reads=n_reads, haps=haps, hap_bases=hap_bases,
-                    hap_events=hap_events, all_events=all_events)
+                    hap_events=hap_events, all_events=all_events,
+                    hap_cigars=hap_cigars)
 
     def _dispatch_region(self, prep):
         """Device stage: async PairHMM dispatch for both samples."""
@@ -347,9 +353,7 @@ class Mutect2Engine:
         # their aligner coordinates (they already match the ref).
         from . import realign as realignmod
         best_h = np.argmax(t_lik, axis=0)
-        hap_cigars = [None if h.is_ref else
-                      genotype.haplotype_cigar(h.bases, ref_seg)
-                      for h in haps]
+        hap_cigars = prep["hap_cigars"]
         ann_reads = []
         for r_i, rd in enumerate(t_reads):
             h = int(best_h[r_i])

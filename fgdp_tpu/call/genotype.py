@@ -40,10 +40,12 @@ def haplotype_cigar(hap, ref, opt=None):
     return cigar
 
 
-def haplotype_events(hap, ref, ref_start: int, opt=None):
+def haplotype_events(hap, ref, ref_start: int, opt=None, cigar=None):
     """Align haplotype to the region reference and extract variant events
-    (SNVs, insertions, deletions) in VCF-style coordinates."""
-    cigar = haplotype_cigar(hap, ref, opt)
+    (SNVs, insertions, deletions) in VCF-style coordinates. Pass a
+    precomputed haplotype_cigar to skip the alignment."""
+    if cigar is None:
+        cigar = haplotype_cigar(hap, ref, opt)
     events = []
     x = y = 0            # x: hap, y: ref
     bases = "ACGTN"
