@@ -52,6 +52,26 @@ def log10_factorial(n):
     return sps.gammaln(np.asarray(n, np.float64) + 1) / np.log(10)
 
 
+def log_likelihood_ratio_batch(n_ref, flat_quals, seg_ids, n_pos):
+    """Vectorized log_likelihood_ratio over many pileup positions:
+    n_ref int[n_pos]; flat_quals/seg_ids are all positions' alt quals
+    flattened with their position index. Returns float64[n_pos]."""
+    n_ref = np.asarray(n_ref, np.float64)
+    seg_ids = np.asarray(seg_ids)
+    n_alt = np.bincount(seg_ids, minlength=n_pos).astype(np.float64)
+    n = n_ref + n_alt
+    f_tilde = np.exp(sps.digamma(n_ref + 1) - sps.digamma(n_alt + 1))
+    beta_entropy = np.log(10) * (
+        -log10_factorial(n + 1) + log10_factorial(n_alt) +
+        log10_factorial(n_ref))
+    eps = qual_to_error_prob(np.asarray(flat_quals, np.float64))
+    ft = f_tilde[seg_ids]
+    z_bar = (1 - eps) / (1 - eps + eps * ft)
+    terms = z_bar * (np.log1p(-eps) - np.log(eps)) + bernoulli_entropy(z_bar)
+    read_sum = np.bincount(seg_ids, weights=terms, minlength=n_pos)
+    return beta_entropy + read_sum
+
+
 def bernoulli_entropy(p):
     p = np.clip(p, 1e-12, 1 - 1e-12)
     return -(p * np.log(p) + (1 - p) * np.log1p(-p))
@@ -62,12 +82,14 @@ class Pileup:
     """Columnar pileup over a region [start, end) of one contig.
 
     depth[i]: reads covering position start+i
-    alt_quals[i]: list of alt-evidence quals per the reference's altQuals
+    alt_quals: SPARSE dict {i: [quals]} of alt evidence (the reference's
+    altQuals); only ~error-rate of covered positions have entries, and a
+    dense per-position list costs O(region) python allocations.
     """
 
     start: int
     depth: np.ndarray
-    alt_quals: list
+    alt_quals: dict
 
 
 def build_pileup(reads, start: int, end: int, ref_codes: np.ndarray,
@@ -75,64 +97,87 @@ def build_pileup(reads, start: int, end: int, ref_codes: np.ndarray,
     """reads: list of dicts with pos (0-based), cigar [(op, len)],
     seq_codes (int array), quals (int array), mate_start (or None),
     properly_paired (bool). Implements altQuals semantics
-    (Mutect2Engine.cpp:91-113)."""
+    (Mutect2Engine.cpp:91-113), vectorized per cigar op: depth via a
+    difference array, alt candidates via array compares — per-base
+    python only where evidence exists."""
     n = end - start
-    depth = np.zeros(n, np.int64)
-    alt_quals = [[] for _ in range(n)]
+    ddiff = np.zeros(n + 1, np.int64)
+    alt_quals: dict[int, list] = {}
+
+    def add_alt(i, q):
+        alt_quals.setdefault(i, []).append(q)
+
     for rd in reads:
         pos = rd["pos"]
         qpos = 0
         rpos = pos
         cig = rd["cigar"]
-        seq = rd["seq_codes"]
-        quals = rd["quals"]
+        seq = np.asarray(rd["seq_codes"])
+        quals = np.asarray(rd["quals"])
+        rlen = len(seq)
+        ms = rd.get("mate_start")
+        overlap_cap = ms is not None and rd.get("properly_paired")
         for ci, (op, ln) in enumerate(cig):
             if op in (0, 7, 8):          # M/=/X: aligned
-                for t in range(ln):
-                    p = rpos + t
-                    if start <= p < end:
-                        i = p - start
-                        depth[i] += 1
-                        q = int(quals[qpos + t])
-                        # indel immediately following this base?
-                        ind_len = 0
-                        if t == ln - 1 and ci + 1 < len(cig) and \
-                                cig[ci + 1][0] in (1, 2):
-                            ind_len = cig[ci + 1][1]
-                        if ind_len > 0:
-                            alt_quals[i].append(min(30 + (ind_len - 1) * 10,
-                                                    127))
-                            continue
-                        # next to a useful soft clip
-                        next_sc = (t == ln - 1 and ci + 1 < len(cig) and
-                                   cig[ci + 1][0] == 4)
-                        prev_sc = (t == 0 and ci > 0 and cig[ci - 1][0] == 4)
-                        if q > MINIMUM_BASE_QUALITY and (next_sc or prev_sc):
-                            alt_quals[i].append(30)   # indelQual(1)
-                            continue
-                        rb = ref_codes[p - ref_start] \
-                            if 0 <= p - ref_start < len(ref_codes) else 4
-                        if int(seq[qpos + t]) != int(rb) and \
-                                q > MINIMUM_BASE_QUALITY:
-                            ms = rd.get("mate_start")
-                            if ms is not None and rd.get("properly_paired") \
-                                    and ms <= p < ms + len(seq):
-                                alt_quals[i].append(
-                                    min(q, pcr_error_qual // 2))
-                            else:
-                                alt_quals[i].append(q)
+                lo = max(rpos, start)
+                hi = min(rpos + ln, end)
+                if lo < hi:
+                    ddiff[lo - start] += 1
+                    ddiff[hi - start] -= 1
+                    toff = lo - rpos
+                    cnt = hi - lo
+                    qseg = quals[qpos + toff:qpos + toff + cnt]
+                    sseg = seq[qpos + toff:qpos + toff + cnt]
+                    r0 = lo - ref_start
+                    rseg = np.full(cnt, 4, np.int64)
+                    c0 = max(r0, 0)
+                    c1 = min(r0 + cnt, len(ref_codes))
+                    if c0 < c1:
+                        rseg[c0 - r0:c1 - r0] = ref_codes[c0:c1]
+                    special = np.zeros(cnt, bool)
+                    # indel immediately following the op's last base
+                    if rpos + ln - 1 >= lo and rpos + ln - 1 < hi and \
+                            ci + 1 < len(cig) and cig[ci + 1][0] in (1, 2):
+                        t = rpos + ln - 1 - lo
+                        ind_len = cig[ci + 1][1]
+                        add_alt(lo - start + t,
+                                min(30 + (ind_len - 1) * 10, 127))
+                        special[t] = True
+                    # next to a useful soft clip
+                    for tpos, cond in ((rpos + ln - 1,
+                                        ci + 1 < len(cig)
+                                        and cig[ci + 1][0] == 4),
+                                       (rpos,
+                                        ci > 0 and cig[ci - 1][0] == 4)):
+                        if cond and lo <= tpos < hi:
+                            t = tpos - lo
+                            if not special[t] and \
+                                    int(qseg[t]) > MINIMUM_BASE_QUALITY:
+                                add_alt(lo - start + t, 30)
+                            special[t] = True
+                    mism = (~special) & (sseg != rseg) & \
+                        (qseg > MINIMUM_BASE_QUALITY)
+                    if mism.any():
+                        ps = lo + np.flatnonzero(mism)
+                        for p in ps:
+                            q = int(quals[qpos + (p - rpos)])
+                            if overlap_cap and ms <= p < ms + rlen:
+                                q = min(q, pcr_error_qual // 2)
+                            add_alt(p - start, q)
                 qpos += ln
                 rpos += ln
             elif op == 1:                # I consumes query
                 qpos += ln
             elif op in (2, 3):           # D/N consume ref
-                for t in range(ln):
-                    p = rpos + t
-                    if start <= p < end:
-                        depth[p - start] += 1
+                lo = max(rpos, start)
+                hi = min(rpos + ln, end)
+                if lo < hi:
+                    ddiff[lo - start] += 1
+                    ddiff[hi - start] -= 1
                 rpos += ln
             elif op == 4:                # S consumes query
                 qpos += ln
+    depth = np.cumsum(ddiff[:n])
     return Pileup(start=start, depth=depth, alt_quals=alt_quals)
 
 
@@ -142,15 +187,20 @@ def activity_probs(pileup: Pileup,
     """isActive over every position (Mutect2Engine.cpp:58-88) -> 0/1."""
     n = len(pileup.depth)
     out = np.zeros(n)
-    for i in range(n):
-        aq = pileup.alt_quals[i]
-        if not aq:
-            continue
-        n_ref = int(pileup.depth[i]) - len(aq)
-        if log_likelihood_ratio(n_ref, aq) < initial_log_odds:
-            continue
+    items = [(i, aq) for i, aq in pileup.alt_quals.items() if aq]
+    if not items:
+        return out
+    pos = np.array([i for i, _ in items])
+    n_alt = np.array([len(aq) for _, aq in items])
+    n_ref = pileup.depth[pos] - n_alt
+    flat = np.concatenate([np.asarray(aq, np.float64) for _, aq in items])
+    seg = np.repeat(np.arange(len(items)), n_alt)
+    llr = log_likelihood_ratio_batch(n_ref, flat, seg, len(items))
+    active = llr >= initial_log_odds
+    for t in np.flatnonzero(active):
+        i = int(pos[t])
         if normal_pileup is not None:
-            naq = normal_pileup.alt_quals[i]
+            naq = normal_pileup.alt_quals.get(i, [])
             nd = int(normal_pileup.depth[i])
             if len(naq) > nd * 0.3 and sum(naq) > 100:
                 continue

@@ -197,3 +197,20 @@ def test_many_regions_pipelined(world):
         hits = [c for c in calls if c.pos == vp and
                 c.alt == "ACGTN"[alts[vp]]]
         assert hits, (vp, [(c.pos, c.alt) for c in calls])
+
+
+def test_llr_batch_matches_scalar():
+    rng = np.random.default_rng(8)
+    items = []
+    for _ in range(50):
+        n_alt = int(rng.integers(1, 8))
+        items.append((int(rng.integers(0, 60)),
+                      list(rng.integers(5, 41, n_alt))))
+    n_ref = np.array([r for r, _ in items])
+    flat = np.concatenate([np.asarray(a, float) for _, a in items])
+    seg = np.repeat(np.arange(len(items)),
+                    [len(a) for _, a in items])
+    got = activity.log_likelihood_ratio_batch(n_ref, flat, seg, len(items))
+    for t, (r, a) in enumerate(items):
+        want = activity.log_likelihood_ratio(r, a)
+        assert abs(got[t] - want) < 1e-9, t
