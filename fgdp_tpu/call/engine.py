@@ -66,6 +66,24 @@ def _reads_for_span(reads, start, end):
     return out
 
 
+class _ReadIndex:
+    """Coordinate-bisected span queries over a read list (reads arrive
+    in BAM order; a full scan per 1 Mb region is quadratic at WGS
+    scale). Conservative left bound via the max reference span."""
+
+    def __init__(self, reads):
+        self.reads = sorted(reads, key=lambda r: r["pos"])
+        self.pos = np.array([r["pos"] for r in self.reads], np.int64)
+        self.max_len = max(
+            (sum(ln for op, ln in r["cigar"] if op in (0, 2, 3, 7, 8))
+             for r in self.reads), default=1)
+
+    def span(self, start, end):
+        lo = int(np.searchsorted(self.pos, start - self.max_len, "left"))
+        hi = int(np.searchsorted(self.pos, end, "left"))
+        return _reads_for_span(self.reads[lo:hi], start, end)
+
+
 def _pairhmm_matrix(reads, haps):
     return _pairhmm_matrix_async(reads, haps)()
 
@@ -230,12 +248,14 @@ class Mutect2Engine:
         self.callable_sites = 0
         calls = []
         active_regions = []
+        t_index = _ReadIndex(tumor_reads)
+        n_index = _ReadIndex(normal_reads)
         for rstart in range(0, n, cfg.region_size):
             rend = min(rstart + cfg.region_size, n)
-            t_reads = _reads_for_span(tumor_reads, rstart, rend)
+            t_reads = t_index.span(rstart, rend)
             if not t_reads:
                 continue
-            n_reads = _reads_for_span(normal_reads, rstart, rend)
+            n_reads = n_index.span(rstart, rend)
             tp = activity.build_pileup(t_reads, rstart, rend, self.ref, 0,
                                        cfg.pcr_error_qual)
             self.callable_sites += int(
@@ -262,7 +282,7 @@ class Mutect2Engine:
         DEPTH = 3
         pending = collections.deque()
         for reg in active_regions:
-            prep = self._prepare_region(reg, tumor_reads, normal_reads)
+            prep = self._prepare_region(reg, t_index, n_index)
             if prep is not None:
                 pending.append((prep, self._dispatch_region(prep)))
             while len(pending) >= DEPTH:
@@ -273,19 +293,20 @@ class Mutect2Engine:
         return calls
 
     def _call_region(self, reg, tumor_reads, normal_reads):
-        prep = self._prepare_region(reg, tumor_reads, normal_reads)
+        prep = self._prepare_region(reg, _ReadIndex(tumor_reads),
+                                    _ReadIndex(normal_reads))
         if prep is None:
             return []
         return self._finish_region(prep, self._dispatch_region(prep))
 
-    def _prepare_region(self, reg, tumor_reads, normal_reads):
+    def _prepare_region(self, reg, t_index, n_index):
         """Host stage: reads, assembly, events, CNN gate. Returns the
         region context dict or None when nothing to call."""
         cfg = self.cfg
         span = (reg.padded_start, reg.padded_end)
         ref_seg = self.ref[span[0]:span[1]].astype(np.uint8)
-        t_reads = _reads_for_span(tumor_reads, *span)
-        n_reads = _reads_for_span(normal_reads, *span)
+        t_reads = t_index.span(*span)
+        n_reads = n_index.span(*span)
         if not t_reads:
             return None
         for rd in t_reads:
