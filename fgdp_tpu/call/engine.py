@@ -69,19 +69,23 @@ def _reads_for_span(reads, start, end):
 class _ReadIndex:
     """Coordinate-bisected span queries over a read list (reads arrive
     in BAM order; a full scan per 1 Mb region is quadratic at WGS
-    scale). Conservative left bound via the max reference span."""
+    scale). Reference end coordinates are precomputed once so span()
+    is a pure bisect + vectorized mask."""
 
     def __init__(self, reads):
         self.reads = sorted(reads, key=lambda r: r["pos"])
         self.pos = np.array([r["pos"] for r in self.reads], np.int64)
-        self.max_len = max(
-            (sum(ln for op, ln in r["cigar"] if op in (0, 2, 3, 7, 8))
-             for r in self.reads), default=1)
+        rlens = np.array(
+            [max(sum(ln for op, ln in r["cigar"] if op in (0, 2, 3, 7, 8)),
+                 1) for r in self.reads], np.int64)
+        self.ends = self.pos + rlens
+        self.max_len = int(rlens.max(initial=1))
 
     def span(self, start, end):
         lo = int(np.searchsorted(self.pos, start - self.max_len, "left"))
         hi = int(np.searchsorted(self.pos, end, "left"))
-        return _reads_for_span(self.reads[lo:hi], start, end)
+        keep = np.flatnonzero(self.ends[lo:hi] > start)
+        return [self.reads[lo + int(k)] for k in keep]
 
 
 def _pairhmm_matrix(reads, haps):
@@ -291,13 +295,6 @@ class Mutect2Engine:
             calls.extend(self._finish_region(*pending.popleft()))
         calls.sort(key=lambda c: c.pos)
         return calls
-
-    def _call_region(self, reg, tumor_reads, normal_reads):
-        prep = self._prepare_region(reg, _ReadIndex(tumor_reads),
-                                    _ReadIndex(normal_reads))
-        if prep is None:
-            return []
-        return self._finish_region(prep, self._dispatch_region(prep))
 
     def _prepare_region(self, reg, t_index, n_index):
         """Host stage: reads, assembly, events, CNN gate. Returns the
