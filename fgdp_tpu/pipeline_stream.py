@@ -39,6 +39,7 @@ class Prefetcher:
     def __init__(self, it, depth: int = 2):
         self._q = queue.Queue(maxsize=depth)
         self._err = None
+        self._done = False
 
         def run():
             try:
@@ -56,8 +57,11 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._done:                 # iterator protocol: stay stopped
+            raise StopIteration
         item = self._q.get()
         if item is _STOP:
+            self._done = True
             self._t.join()
             if self._err is not None:
                 raise self._err
@@ -77,12 +81,13 @@ class LineWriter:
                 lines = self._q.get()
                 if lines is _STOP:
                     return
+                if self._err is not None:
+                    continue               # drain: keep producers moving
                 try:
                     for ln in lines:
                         write(ln)
-                except BaseException as e:
+                except BaseException as e:  # re-raised by put()/close()
                     self._err = e
-                    return
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
@@ -126,12 +131,19 @@ class StreamingSortMarkdup:
     encode (the reference's reader/shuffle-vs-sort split)."""
 
     def __init__(self, header_lines, out_bam_path, compress_level: int = 6):
+        import tempfile
+
         self.header_lines = [ln.rstrip("\n") for ln in header_lines]
         self.header = SamHeader.parse(self.header_lines)
         self.out_bam_path = out_bam_path
         self.compress_level = compress_level
         self._q = queue.Queue(maxsize=4)
-        self._chunks = []          # (bytes, parsed, rid, pair_id)
+        # chunk text spills to disk (pass-2 re-reads it via mmap, the
+        # same larger-than-RAM design as sort_markdup_file): resident
+        # state is the numeric key arrays only
+        self._spill = tempfile.NamedTemporaryFile(prefix="fgdp_sd_")
+        self._spill_off = 0
+        self._chunks = []          # (base_offset, parsed, rid, pair_id)
         self._holdback = ""        # lines sharing the last QNAME
         self._fallback_lines = []  # pure-Python path if native missing
         self._native = native.get_lib() is not None
@@ -145,15 +157,19 @@ class StreamingSortMarkdup:
             chunk = self._q.get()
             if chunk is _STOP:
                 return
+            if self._err is not None:
+                continue                   # drain: keep the producer moving
             try:
                 buf = chunk.encode()
                 parsed = native.parse_sam_numeric(buf, buf.count(b"\n") + 1)
                 rp = native.assign_rid_pairid(buf, parsed,
                                               self.header.names)
-                self._chunks.append((buf, parsed, rp[0], rp[1]))
-            except BaseException as e:
+                self._spill.write(buf)
+                self._chunks.append((self._spill_off, parsed,
+                                     rp[0], rp[1]))
+                self._spill_off += len(buf)
+            except BaseException as e:     # re-raised by feed()/finish()
                 self._err = e
-                return
 
     # ---- producer API ----
     def feed(self, lines):
@@ -197,13 +213,12 @@ class StreamingSortMarkdup:
                                          self.out_bam_path,
                                          self.compress_level)
         # merge chunk arrays; shift byte offsets and pairIDs
-        bufs, parsed_list, rids, pids = zip(*self._chunks)
-        base = np.cumsum([0] + [len(b) for b in bufs[:-1]])
+        bases, parsed_list, rids, pids = zip(*self._chunks)
         off_keys = ("line_start", "line_end", "qn_start", "qn_end",
                     "rn_start", "rn_end")
         merged = {}
         for k in parsed_list[0]:
-            parts = [p[k] + (base[i] if k in off_keys else 0)
+            parts = [p[k] + (bases[i] if k in off_keys else 0)
                      for i, p in enumerate(parsed_list)]
             merged[k] = np.concatenate(parts)
         pid_out, pid_base = [], 0
@@ -213,9 +228,21 @@ class StreamingSortMarkdup:
             pid_base += int(p.max(initial=0))
         rid = np.concatenate(rids)
         pair_id = np.concatenate(pid_out)
-        return sddriver._native_pass2(
-            b"".join(bufs), merged, rid, pair_id, self.header,
-            self.out_bam_path, self.compress_level)
+        import ctypes
+        import mmap as mmap_mod
+
+        self._spill.flush()
+        try:
+            with mmap_mod.mmap(self._spill.fileno(), 0,
+                               access=mmap_mod.ACCESS_COPY) as mm:
+                buf = (ctypes.c_char * len(mm)).from_buffer(mm)
+                res = sddriver._native_pass2(
+                    buf, merged, rid, pair_id, self.header,
+                    self.out_bam_path, self.compress_level)
+                del buf        # release the exported buffer before close
+            return res
+        finally:
+            self._spill.close()
 
 
 def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
@@ -251,6 +278,12 @@ _W_PREF = None
 _W_OPT = None
 
 
+def _worker_warm(dt):
+    import time
+    time.sleep(dt)
+    return 0
+
+
 def _finalize_worker_init(pref_path, opt):
     global _W_PREF, _W_OPT
     from .index.reference import PackedReference
@@ -280,15 +313,30 @@ class FinalizePool:
         import os
 
         # children must not touch the TPU relay: strip the axon
-        # sitecustomize from their PYTHONPATH and pin the cpu backend
+        # sitecustomize from their PYTHONPATH and pin the cpu backend —
+        # but only for the children: snapshot the parent env, spawn all
+        # workers eagerly while it is clean, then restore.
+        saved = {k: os.environ.get(k) for k in ("PYTHONPATH",
+                                                "JAX_PLATFORMS")}
         pp = [p for p in os.environ.get("PYTHONPATH", "").split(":")
               if p and "axon" not in p]
         os.environ["PYTHONPATH"] = ":".join(pp)
         os.environ["JAX_PLATFORMS"] = "cpu"
-        ctx = multiprocessing.get_context("spawn")
-        self._ex = concurrent.futures.ProcessPoolExecutor(
-            max_workers=workers, mp_context=ctx,
-            initializer=_finalize_worker_init, initargs=(pref_path, opt))
+        try:
+            ctx = multiprocessing.get_context("spawn")
+            self._ex = concurrent.futures.ProcessPoolExecutor(
+                max_workers=workers, mp_context=ctx,
+                initializer=_finalize_worker_init,
+                initargs=(pref_path, opt))
+            # force every worker to spawn now (spawn is lazy)
+            import time as _time
+            list(self._ex.map(_worker_warm, [0.2] * workers))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     def submit(self, names, seqs, quals, regs_np, id0, paired=False):
         seqs = [np.asarray(s) for s in seqs]
