@@ -52,11 +52,14 @@ def fitting_alignment(read: np.ndarray, hap: np.ndarray):
         F[i, 2:] = (cm + karange * GAP_EXTEND)[:-1]
         H[i, 1:] = np.maximum(np.maximum(diag, E[i, 1:]), F[i, 1:])
         H[i, 0] = NEG // 2
-    j_end = int(np.argmax(H[n]))
+    # SOFTCLIP end semantics (GATK createReadAlignedToRef): the
+    # alignment may end anywhere; trailing read bases become softclips
+    ei, ej = np.unravel_index(int(np.argmax(H)), H.shape)
+    tail_sc = n - int(ei)
     # stateful traceback (gap runs must follow their own extension
     # chain, not re-derive from H mid-run)
     ops = []
-    i, j = n, j_end
+    i, j = int(ei), int(ej)
     state = 0                        # 0=H 1=E(ins) 2=F(del)
     while i > 0 and j > 0:
         if state == 0:
@@ -80,13 +83,8 @@ def fitting_alignment(read: np.ndarray, hap: np.ndarray):
             ext = j > 1 and F[i, j] == F[i, j - 1] + GAP_EXTEND
             j -= 1
             state = 2 if ext else 0
-    while i > 0 and state == 1:      # insertion run reaching the top
-        ops.append((OP_I, 1))
-        i -= 1
-        state = 1 if i > 0 and E[i + 1, 0] == E[i, 0] + GAP_EXTEND else 0
     lead_sc = i                      # read bases before hap window
     ops.reverse()
-    # merge runs; turn leading I into S is not needed (i>0 handled above)
     cigar = []
     if lead_sc:
         cigar.append([OP_S, lead_sc])
@@ -95,6 +93,8 @@ def fitting_alignment(read: np.ndarray, hap: np.ndarray):
             cigar[-1][1] += ln
         else:
             cigar.append([op, ln])
+    if tail_sc:
+        cigar.append([OP_S, tail_sc])
     return j, [(op, ln) for op, ln in cigar]
 
 
@@ -118,14 +118,18 @@ def compose_cigars(hap_start: int, read2hap, hap2ref):
     out = []
     h = hap_start
     start_ref = None
+    ref_end = None                   # running ref position after `out`
 
     def push(op, ln):
+        nonlocal ref_end
         if ln <= 0:
             return
         if out and out[-1][0] == op:
             out[-1][1] += ln
         else:
             out.append([op, ln])
+        if op in (OP_M, OP_D):
+            ref_end += ln
 
     for op, ln in read2hap:
         if op == OP_S:
@@ -140,11 +144,10 @@ def compose_cigars(hap_start: int, read2hap, hap2ref):
                 else:
                     if start_ref is None:
                         start_ref = r
-                    else:
+                        ref_end = r
+                    elif r > ref_end:
                         # deletion against ref between consecutive Ms
-                        prev_end = _ref_end(out, start_ref)
-                        if r > prev_end:
-                            push(OP_D, r - prev_end)
+                        push(OP_D, r - ref_end)
                     push(OP_M, 1)
                 h += 1
         elif op == OP_D:             # read skips hap bases
@@ -158,14 +161,6 @@ def compose_cigars(hap_start: int, read2hap, hap2ref):
             if hap_ref else 0
         start_ref = max(start_ref, 0)
     return start_ref, [(op, ln) for op, ln in out]
-
-
-def _ref_end(out, start_ref):
-    pos = start_ref
-    for op, ln in out:
-        if op in (OP_M, OP_D):
-            pos += ln
-    return pos
 
 
 def realign_read(read_codes: np.ndarray, hap_bases: np.ndarray,

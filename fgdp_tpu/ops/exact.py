@@ -68,7 +68,7 @@ def _searchsorted_left(rmi: DeviceRMI, q):
         lo, hi = c
         mid = (lo + hi) >> 1
         kv = jnp.take(rmi.keys, jnp.clip(mid, 0, N - 1))
-        lt = kv < q
+        lt = (kv < q) & (lo < hi)      # converged lanes must not drift
         return (jnp.where(lt, mid + 1, lo), jnp.where(lt, hi, mid))
 
     lo, _ = jax.lax.fori_loop(0, 32, step, (lo, hi))
@@ -219,11 +219,12 @@ def inexact_search(fm: fmops.DeviceFMIndex, codes, lens, z: int,
         branch_ok = branch_ok & ((zz > 0)[:, None] | is_q)
         nz = jnp.where(is_q, zz[:, None], zz[:, None] - 1)
         # push surviving branches at size, size+1, ... (c ascending,
-        # matching the reference's FIFO order)
+        # matching the reference's FIFO order); the popped head slot is
+        # already free, hence the +1 in the ring-capacity check
         bslot = jnp.cumsum(branch_ok.astype(jnp.int32), axis=1) - 1
         tails = (st["size"][:, None] + bslot) % F
         room = st["size"] - st["head"] + \
-            jnp.sum(branch_ok, axis=1).astype(jnp.int32) <= F
+            jnp.sum(branch_ok, axis=1).astype(jnp.int32) <= F + 1
         ovf = ovf | (live & ~room)
         push = branch_ok & room[:, None]
 

@@ -34,7 +34,7 @@ TILE_J = 256
 def _kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
             score_ref, qle_ref, tle_ref, gtle_ref, gscore_ref, moff_ref,
             eh_h, eh_e, st_ref,
-            *, QP, TP, w, p: SWParams, n_doubling):
+            *, QP, TP, T_LOOP, w, p: SWParams, n_doubling):
     J = q_ref.shape[1]
     qlen = qlen_ref[:]                                   # (1, J) int32
     tlen = tlen_ref[:]
@@ -175,7 +175,7 @@ def _kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
     # makes the band-doubling retry call (~all lanes qn=0) near-free
     def cond(i):
         live = (st_ref[pl.ds(8, 1), :] == 0) & (i < tlen)
-        return (i < TP) & jnp.any(live)
+        return (i < T_LOOP) & jnp.any(live)
 
     jax.lax.while_loop(cond, lambda i: (row(i, 0), i + 1)[1], jnp.int32(0))
     ld = lambda r: st_ref[pl.ds(r, 1), :]
@@ -213,8 +213,8 @@ def sw_extend_pallas(query, qlen, target, tlen, h0, w, mat,
                                      memory_space=pltpu.VMEM)
     n_doubling = max(1, int(np.ceil(np.log2(max(QP, 2)))))
     outs = pl.pallas_call(
-        functools.partial(_kernel, QP=QP, TP=TPc, w=int(w), p=p,
-                          n_doubling=n_doubling),
+        functools.partial(_kernel, QP=QP, TP=TPc, T_LOOP=min(TP, TPc),
+                          w=int(w), p=p, n_doubling=n_doubling),
         grid=grid,
         in_specs=[tile(QP), tile(TPc), tile(1), tile(1), tile(1)],
         out_specs=[tile(1)] * 6,

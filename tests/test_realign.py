@@ -100,7 +100,8 @@ def test_dp_matrix_matches_brute_force():
                                   F[i][j - 1] + GAP_EXTEND)
                     sub = MATCH if hap[j - 1] == read[i - 1] else MISMATCH
                     H[i][j] = max(H[i - 1][j - 1] + sub, E[i][j], F[i][j])
-        return max(H[n])
+        # free end anywhere (SOFTCLIP trailing semantics)
+        return max(max(row) for row in H[1:])
 
     def cigar_score(read, hap, hs, cig):
         sc, i, j = 0, 0, hs
@@ -135,3 +136,16 @@ def test_dp_matrix_matches_brute_force():
         got = cigar_score(read, hap, hs, cig)
         want = brute_best(read, hap)
         assert got == want, (t, got, want, cig)
+
+
+def test_trailing_softclip():
+    """Read extending past the haplotype end ends in S, not I."""
+    rng = _rng(9)
+    hap = rng.integers(0, 4, 60)
+    tail = (hap[:5] + 1) % 4
+    read = np.concatenate([hap[30:60], tail])
+    hs, cig = fitting_alignment(read, hap)
+    assert hs == 30
+    assert cig[0] == (M, 30) and cig[-1][0] == S and cig[-1][1] >= 3
+    pos, cig2 = realign_read(read, hap, [(M, len(hap))], 700)
+    assert pos == 730 and cig2[-1][0] == S

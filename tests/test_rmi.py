@@ -134,3 +134,15 @@ def test_inexact_search_one_mismatch(world):
         want = {p for p in range(len(x) - L + 1)
                 if np.sum(x[p:p + L] != pat) <= 1}
         assert got == want, b
+
+
+def test_device_interval_max_key_no_overshoot(world):
+    """Lexicographically maximal keys: the q+1 probe must converge to N
+    exactly (a fixed-iteration bisection without a lo<hi guard drifts
+    to N+1 and reports s one too large)."""
+    rng, ref, x, fm, rmi = world
+    drmi = DeviceRMI.from_host(rmi)
+    qmax = int(rmi.keys[-1])
+    k_d, s_d = rmi_interval(drmi, jnp.asarray([qmax, qmax], jnp.int32))
+    lo, s = rmi.lookup_host(qmax)
+    assert int(s_d[0]) == s and int(k_d[0]) == lo
