@@ -43,7 +43,6 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     """
     B, L = codes.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    bidx = jnp.arange(B)
 
     # --- K1: frontier anchor sweep. Random FM gathers are row-count
     # bound on TPU (~50M rows/s through XLA); with only a handful of

@@ -32,7 +32,7 @@ class PackedReference:
     codes: np.ndarray     # uint8[l_pac] forward codes (0..3, N randomized)
     amb_offsets: np.ndarray  # int64[n_holes] start of each ambiguous run
     amb_lens: np.ndarray     # int64[n_holes]
-    is_alt: np.ndarray       # bool[n] (ALT contigs; no .alt support yet)
+    is_alt: np.ndarray       # bool[n] ALT contigs (see load_alt)
 
     @property
     def l_pac(self) -> int:

@@ -28,9 +28,6 @@ import numpy as np
 from . import fm as fmops
 from .fm import DeviceFMIndex
 
-NEG1 = jnp.int32(-1)
-
-
 class SeedBatch(NamedTuple):
     """Fixed-shape per-read seed buffers."""
 
@@ -408,7 +405,11 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
                                             axis=1) == 1)
             keep2 = survive2 & (first2 | (ns2 != shift(ns2)))
             ncount2 = jnp.sum(keep2, axis=1).astype(jnp.int32)
-            alive1 = jnp.where(proc1, ncount2 > 0, alive0)
+            # an ambiguous second char KILLS the lane (the one-step body
+            # and the reference break on N); without this the next
+            # iteration would skip the N and extend across it
+            amb_kill = alive0 & stepping & (j - 1 >= 0) & (b >= 4)
+            alive1 = jnp.where(proc1, ncount2 > 0, alive0 & ~amb_kill)
 
             # ---- one compaction for both rounds ----
             two = proc1
@@ -709,9 +710,12 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
 def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
                      B: int, max_seeds: int,
                      into: SeedBatch | None = None) -> SeedBatch:
-    """Concatenate per-lane emissions into per-read SeedBatch buffers,
-    ordered by (lane_order, emission index) per read — reproducing the
-    sequential matchArray append order. lane_read/lane_order int32[NL]."""
+    """Concatenate per-lane emissions into per-read SeedBatch buffers.
+    PRECONDITION: lanes arrive segment-contiguous and already sorted by
+    (read, desired order) — the segmented scan below derives per-read
+    offsets from that order (lane_order is accepted for call-site
+    documentation only). Reproduces the sequential matchArray append
+    order. lane_read/lane_order int32[NL]."""
     NL, SA = lanes.m.shape
     S = max_seeds
     cnt = jnp.where(lane_valid, lanes.count, 0)
@@ -764,7 +768,7 @@ def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
 def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
                  active, min_seed_len: int, max_seeds: int, prev_cap: int,
                  two_step: bool = True, tail_frac: int = 4,
-                 lane_emit_cap: int = 24):
+                 lane_emit_cap: int | None = None):
     """K1: anchors sweep left to right until every lane is exhausted.
 
     two_step selects the lambert 2-chars-per-gather-pair bodies. Measured
@@ -780,6 +784,10 @@ def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
     B, L = codes.shape
     seeds0 = _empty_seeds(B, max_seeds)
     NT = max(B // tail_frac, 1) if tail_frac > 1 else 0
+    # a straggler read gets the SAME per-read budget as the main loop —
+    # a smaller cap would drop seeds the untiered path keeps
+    if lane_emit_cap is None:
+        lane_emit_cap = max_seeds
 
     def live(x):
         return active & (x < lens)
@@ -866,7 +874,7 @@ def seed_strategy(fm: DeviceFMIndex, codes, lens, active, max_intv: int,
                                   B + jnp.arange(B, dtype=jnp.int32)))
     ridx = order[:NT]
     on = rem[ridx]
-    SA = max(max_seeds // 2, 8)
+    SA = max_seeds       # same per-read budget as the untiered path
     lanes0 = LaneSeeds(m=jnp.zeros((NT, SA), jnp.int32),
                        n=jnp.zeros((NT, SA), jnp.int32),
                        k=jnp.zeros((NT, SA), jnp.int32),

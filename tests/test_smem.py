@@ -180,3 +180,35 @@ def test_device_k3_tail_tiering_matches(world):
         jnp.ones(B, bool), max_intv=20, min_seed_len=11, max_seeds=64,
         tail_frac=4)
     assert seeds_to_sets(a, B, fm) == seeds_to_sets(b, B, fm)
+
+
+def test_backward_two_step_ambiguous_second_char(world):
+    """N at the SECOND char of a backward gather pair must kill the
+    lane exactly like the one-step body (a lane left alive would skip
+    the N and extend across it). Crafted so the skip-extension would
+    survive if taken."""
+    rng, ref, fm, dfm, refc = world
+    text = np.concatenate([ref, dna.revcomp(ref)])
+    L = 40
+    x = 20
+    # read matches text at p; N placed at x-2 (second-of-pair when the
+    # backward walk starts at j = x-1)
+    p = 150
+    read = text[p:p + L].astype(np.uint8).copy()
+    read[x - 2] = 4
+    reads = read[None, :]
+    codes = jnp.asarray(reads, jnp.int32)
+    lens = jnp.full(1, L, jnp.int32)
+    seeds0 = smemops._empty_seeds(1, 64)
+    outs = {}
+    for ts in (True, False):
+        seeds, nx = smemops.smem_one_pos(
+            dfm, refc, len(ref), codes, lens, jnp.full(1, x, jnp.int32),
+            jnp.ones(1, jnp.int32), jnp.ones(1, bool), 5, seeds0,
+            prev_cap=L + 2, two_step=ts)
+        outs[ts] = (seeds_to_sets(seeds, 1, fm), int(nx[0]))
+    assert outs[True] == outs[False]
+    # and both match the scalar oracle
+    ref_out, ref_nx = oracles.smem_one_pos_ref(fm, reads[0], x, 1, 5)
+    assert outs[True][0][0] == oracle_to_sets(ref_out, fm)
+    assert outs[True][1] == ref_nx
