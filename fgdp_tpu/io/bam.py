@@ -44,8 +44,15 @@ def _encode_tags(fields):
         name, typ, val = tag.split(":", 2)
         out += name.encode()
         if typ == "i":
+            # htslib picks the narrowest integer type by value; SAM text
+            # prints uint32 tags as 'i' too, so range-dispatch like hts
             v = int(val)
-            out += b"i" + struct.pack("<i", v)
+            if -(1 << 31) <= v < (1 << 31):
+                out += b"i" + struct.pack("<i", v)
+            elif 0 <= v < (1 << 32):
+                out += b"I" + struct.pack("<I", v)
+            else:
+                raise ValueError(f"integer tag out of range: {tag}")
         elif typ == "f":
             out += b"f" + struct.pack("<f", float(val))
         elif typ == "A":
@@ -120,7 +127,9 @@ class BaiBuilder:
         self.n_ref = n_ref
         self.bins = [dict() for _ in range(n_ref)]    # bin -> [chunks]
         self.linear = [dict() for _ in range(n_ref)]  # 16kb win -> min voff
-        self.unmapped_voff_start = None
+        # pseudo-bin 37450 metadata per ref (hts_idx_push):
+        # [voff_beg_min, voff_end_max, n_mapped, n_unmapped]
+        self.meta = [[None, None, 0, 0] for _ in range(n_ref)]
         self.n_no_coor = 0
 
     def add(self, rid, beg, end, voff_beg, voff_end):
@@ -133,24 +142,32 @@ class BaiBuilder:
             chunks[-1] = (chunks[-1][0], voff_end)
         else:
             chunks.append((voff_beg, voff_end))
-        for w in range(beg >> 14, max(end - 1, beg) >> 14):
-            self.linear[rid].setdefault(w, voff_beg)
-        self.linear[rid].setdefault(max(end - 1, beg) >> 14, voff_beg)
+        # callers add in coordinate order with nondecreasing voffsets,
+        # so setdefault keeps the window minimum
         for w in range(beg >> 14, (max(end - 1, beg) >> 14) + 1):
-            if self.linear[rid][w] > voff_beg:
-                self.linear[rid][w] = voff_beg
+            self.linear[rid].setdefault(w, voff_beg)
+        m = self.meta[rid]
+        m[0] = voff_beg if m[0] is None else min(m[0], voff_beg)
+        m[1] = voff_end if m[1] is None else max(m[1], voff_end)
+        m[2] += 1
 
     def tobytes(self) -> bytes:
         out = bytearray(b"BAI\1")
         out += struct.pack("<i", self.n_ref)
         for rid in range(self.n_ref):
             bins = self.bins[rid]
-            out += struct.pack("<i", len(bins))
+            meta = self.meta[rid]
+            out += struct.pack("<i", len(bins) + (1 if meta[2] else 0))
             for b in sorted(bins):
                 chunks = bins[b]
                 out += struct.pack("<Ii", b, len(chunks))
                 for cb, ce in chunks:
                     out += struct.pack("<QQ", cb, ce)
+            if meta[2]:
+                # metadata pseudo-bin 37450 (samtools idxstats source)
+                out += struct.pack("<Ii", 37450, 2)
+                out += struct.pack("<QQ", meta[0], meta[1])
+                out += struct.pack("<QQ", meta[2], meta[3])
             lin = self.linear[rid]
             n_win = (max(lin) + 1) if lin else 0
             out += struct.pack("<i", n_win)

@@ -78,6 +78,16 @@ class VirtualOffsetMap:
         ustart, coff, _ = self.table[lo]
         return ((self.base + coff) << 16) | (uoff - ustart)
 
+    def voffsets(self, uoffs) -> "np.ndarray":
+        """Vectorized voffset over an array of uncompressed offsets."""
+        import numpy as np
+        u = np.asarray(uoffs, np.int64)
+        ustarts = np.asarray([t[0] for t in self.table], np.int64)
+        coffs = np.asarray([t[1] for t in self.table], np.int64)
+        idx = np.clip(np.searchsorted(ustarts, u, "right") - 1, 0,
+                      len(self.table) - 1)
+        return ((self.base + coffs[idx]) << 16) | (u - ustarts[idx])
+
 
 def decompress(data: bytes) -> bytes:
     """Inflate a BGZF stream (reader side)."""

@@ -23,7 +23,8 @@ from . import engine
 
 def _split_np(x):
     x = np.asarray(x, np.int64)
-    return (x >> 30).astype(np.int32), (x & ((1 << 30) - 1)).astype(np.int32)
+    return ((x >> engine._LO_BITS).astype(np.int32),
+            (x & engine._LO_MASK).astype(np.int32))
 
 
 def _pow2(n):   # pad to a power of two to bound jit recompiles
@@ -133,9 +134,22 @@ def sort_order(records: SamRecords) -> np.ndarray:
 
 
 def _sorted_header_bytes(header: SamHeader):
-    htext = header.text.replace("SO:unsorted", "SO:coordinate")
-    if "SO:coordinate" not in htext:
-        htext = "@HD\tVN:1.6\tSO:coordinate\n" + htext
+    """Set SO:coordinate on the existing @HD (never add a second @HD)."""
+    import re
+
+    lines = header.text.splitlines()
+    had_hd = False
+    for i, ln in enumerate(lines):
+        if ln.startswith("@HD"):
+            had_hd = True
+            if "SO:" in ln:
+                lines[i] = re.sub(r"SO:\S+", "SO:coordinate", ln)
+            else:
+                lines[i] = ln + "\tSO:coordinate"
+            break
+    if not had_hd:
+        lines.insert(0, "@HD\tVN:1.6\tSO:coordinate")
+    htext = "\n".join(lines) + "\n"
     return bamio.bam_header_bytes(htext, header.names, header.lens)
 
 
@@ -232,11 +246,11 @@ def _native_pass2(buf, parsed, rid, pair_id, header: SamHeader,
             vmap = bgzf.VirtualOffsetMap(
                 [(u + u_off, c, ul) for (u, c, ul) in table],
                 base_coff=c_off)
+            voffs = vmap.voffsets(base + np.asarray(rec_off, np.int64))
             for i in range(len(erid)):
                 bai.add(int(erid[i]), int(epos[i]),
                         int(epos[i]) + int(erlen[i]),
-                        vmap.voffset(base + int(rec_off[i])),
-                        vmap.voffset(base + int(rec_off[i + 1])))
+                        int(voffs[i]), int(voffs[i + 1]))
             fo.write(comp)
             u_off += len(payload)
             c_off += len(comp)

@@ -228,3 +228,37 @@ def test_bam_is_standard_bgzf_gzip(tmp_path):
     off += 4 + l_name + 4                      # name + l_ref
     first_pos = struct.unpack("<i", raw[off + 8:off + 12])[0]
     assert first_pos == 49                     # r2 at 0-based 49 first
+
+
+def test_header_so_rewrite_no_duplicate_hd():
+    from fgdp_tpu.io.sam import SamHeader
+    from fgdp_tpu.sortdup.driver import _sorted_header_bytes
+    import struct
+
+    for hd in ("@HD\tVN:1.6\tSO:queryname", "@HD\tVN:1.6", None):
+        lines = ([hd] if hd else []) + ["@SQ\tSN:c1\tLN:100"]
+        hb = _sorted_header_bytes(SamHeader.parse(lines))
+        l_text = struct.unpack("<i", hb[4:8])[0]
+        text = hb[8:8 + l_text].decode()
+        assert text.count("@HD") == 1, text
+        assert "SO:coordinate" in text
+        assert "SO:queryname" not in text
+
+
+def test_uint32_tag_roundtrip(tmp_path):
+    from fgdp_tpu.io import native
+    from fgdp_tpu.sortdup.driver import sort_markdup
+
+    sam = ["@HD\tVN:1.6", "@SQ\tSN:c1\tLN:1000",
+           "r1\t0\tc1\t100\t60\t5M\t*\t0\t0\tACGTA\tIIIII\tXX:i:4294967295"]
+    out = tmp_path / "u.bam"
+    # force the pure-Python encoder (the finding's crash path)
+    orig = native.parse_sam_numeric
+    native.parse_sam_numeric = lambda *a, **k: None
+    try:
+        n, _ = sort_markdup(sam, str(out))
+    finally:
+        native.parse_sam_numeric = orig
+    assert n == 1
+    _, _, _, recs = bamio.read_bam(out)
+    assert b"XXI" in recs[0]["tags"]
