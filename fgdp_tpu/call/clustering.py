@@ -295,6 +295,13 @@ class SomaticClusteringModel:
             self.cluster_assignments = [None] * len(self.data)
             self.cluster_counts = [0] * len(self.clusters)
         elif len(self.cluster_assignments) != len(self.data):
+            # defensive resize (the reference assumes equal pass sizes):
+            # release the old assignments' count contributions first
+            for a in self.cluster_assignments:
+                if a is not None:
+                    self.cluster_counts[a] -= 1
+                    if a >= OFFSET:
+                        self.total_sparse_cluster_count -= 1
             self.cluster_assignments = [None] * len(self.data)
 
         for _ in range(NUM_ITERATIONS):
