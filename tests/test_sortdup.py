@@ -262,3 +262,33 @@ def test_uint32_tag_roundtrip(tmp_path):
     assert n == 1
     _, _, _, recs = bamio.read_bam(out)
     assert b"XXI" in recs[0]["tags"]
+
+
+def test_bai_metadata_pseudobin(tmp_path):
+    """BAI pseudo-bin 37450 (idxstats source): mapped counts per ref."""
+    import struct
+
+    from fgdp_tpu.sortdup.driver import sort_markdup
+
+    sam = ["@HD\tVN:1.6", "@SQ\tSN:c1\tLN:100000",
+           "r1\t0\tc1\t100\t60\t5M\t*\t0\t0\tACGTA\tIIIII",
+           "r2\t0\tc1\t50000\t60\t5M\t*\t0\t0\tACGTA\tIIIII"]
+    out = tmp_path / "m.bam"
+    sort_markdup(sam, str(out))
+    bai = (tmp_path / "m.bam.bai").read_bytes()
+    assert bai[:4] == b"BAI\x01"
+    off = 8
+    n_bin = struct.unpack("<i", bai[off:off + 4])[0]
+    off += 4
+    found = None
+    for _ in range(n_bin):
+        b, n_chunk = struct.unpack("<Ii", bai[off:off + 8])
+        off += 8
+        chunks = [struct.unpack("<QQ", bai[off + 16 * c:off + 16 * c + 16])
+                  for c in range(n_chunk)]
+        off += 16 * n_chunk
+        if b == 37450:
+            found = chunks
+    assert found is not None and len(found) == 2
+    assert found[1][0] == 2          # n_mapped
+    assert found[1][1] == 0          # n_unmapped
