@@ -55,7 +55,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # stays per-call for that reason.
     seeds = smemops.smem_all_pos(dfm, dref.codes, dref.l_pac, codes, lens,
                                  jnp.ones(B, jnp.int32), active,
-                                 opt.min_seed_len, max_seeds, prev_cap)
+                                 opt.min_seed_len, max_seeds, prev_cap,
+                                 ref_codes16=dref.codes16)
     k1_count = seeds.count
 
     # --- K2: qualifying K1 SMEMs re-seeded at their midpoint. Jobs are
@@ -81,7 +82,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
 
     k2lanes, _ = smemops.smem_one_pos_lanes(
         dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x, job_mi,
-        k_on, opt.min_seed_len, prev_cap, lane_emit_cap)
+        k_on, opt.min_seed_len, prev_cap, lane_emit_cap,
+        ref_codes16=dref.codes16)
     seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on, B,
                                      max_seeds, into=seeds)
 

@@ -205,28 +205,9 @@ class DeviceReference:
         out-of-range positions. reverse=True returns position
         start+T-1-c at column c (left-extension order). One packed-word
         gather per 16 codes instead of an element gather per code."""
-        start = start.astype(jnp.int32)
-        l2 = 2 * self.l_pac
-        W = T // 16 + 2
-        w0 = jnp.right_shift(start, 4)      # arithmetic: floor for < 0
-        words = jnp.take(self.codes16,
-                         jnp.clip(w0[:, None] +
-                                  jnp.arange(W, dtype=jnp.int32)[None, :],
-                                  0, self.codes16.shape[0] - 1), axis=0)
-        off = (start & 15).astype(jnp.uint32)   # nonneg remainder
-        sh = 2 * off[:, None]
-        aligned = jnp.where(
-            off[:, None] == 0, words[:, :-1],
-            (words[:, :-1] >> sh) |
-            (words[:, 1:] << (jnp.uint32(32) - sh)))      # [J, W-1]
-        cols = jnp.arange(T, dtype=jnp.int32)
-        wi = cols >> 4
-        bi = (2 * (cols & 15)).astype(jnp.uint32)
-        codes = (aligned[:, wi] >> bi[None, :]) & jnp.uint32(3)
-        codes = codes.astype(jnp.int32)
-        pos = start[:, None] + cols[None, :]
-        codes = jnp.where((pos >= 0) & (pos < l2), codes, 4)
-        return codes[:, ::-1] if reverse else codes
+        return packed_window(self.codes16, 2 * self.l_pac, start, T,
+                             reverse)
+
 
     def pos2rid(self, pos_f):
         """Batched bns_pos2rid over forward-space positions."""
@@ -257,3 +238,29 @@ class DeviceReference:
         far_beg = jnp.where(is_rev, l2 - fe, fb)
         far_end = jnp.where(is_rev, l2 - fb, fe)
         return far_beg, far_end, rid
+
+
+def packed_window(codes16, l2, start, T: int, reverse: bool = False):
+    """Free-function form of DeviceReference.fetch_window (usable from
+    kernels that carry the packed words without the full object)."""
+    start = start.astype(jnp.int32)
+    W = T // 16 + 2
+    w0 = jnp.right_shift(start, 4)      # arithmetic: floor for < 0
+    words = jnp.take(codes16,
+                     jnp.clip(w0[:, None] +
+                              jnp.arange(W, dtype=jnp.int32)[None, :],
+                              0, codes16.shape[0] - 1), axis=0)
+    off = (start & 15).astype(jnp.uint32)   # nonneg remainder
+    sh = 2 * off[:, None]
+    aligned = jnp.where(
+        off[:, None] == 0, words[:, :-1],
+        (words[:, :-1] >> sh) |
+        (words[:, 1:] << (jnp.uint32(32) - sh)))      # [J, W-1]
+    cols = jnp.arange(T, dtype=jnp.int32)
+    wi = cols >> 4
+    bi = (2 * (cols & 15)).astype(jnp.uint32)
+    codes = (aligned[:, wi] >> bi[None, :]) & jnp.uint32(3)
+    codes = codes.astype(jnp.int32)
+    pos = start[:, None] + cols[None, :]
+    codes = jnp.where((pos >= 0) & (pos < l2), codes, 4)
+    return codes[:, ::-1] if reverse else codes

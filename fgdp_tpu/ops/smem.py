@@ -84,6 +84,19 @@ def _read_base(codes, j):
     return jnp.where((j >= 0) & (j < L), a, 4)
 
 
+def _text_window(ref_codes, ref_codes16, l_pac, start, T: int,
+                 reverse: bool = False):
+    """Contiguous text window [NL, T]: packed-word fetch (16 codes per
+    gather row) when the caller supplies the packed doubled-space words,
+    else elementwise _text_base."""
+    if ref_codes16 is not None:
+        from ..index.reference import packed_window
+        return packed_window(ref_codes16, 2 * l_pac, start, T, reverse)
+    tgrid = jnp.arange(T, dtype=jnp.int32)[None, :]
+    tp = start[:, None] + ((T - 1) - tgrid if reverse else tgrid)
+    return _text_base(ref_codes, l_pac, tp)
+
+
 def _text_base(ref_codes, l_pac, p):
     """Char at position p of the FM text (fwd reference + revcomp;
     sentinel / out of range -> 4). Lets s==1 intervals extend by direct
@@ -97,7 +110,8 @@ def _text_base(ref_codes, l_pac, p):
 
 
 def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
-               read_base, read_grid, started, P, two_step: bool = True):
+               read_base, read_grid, started, P, two_step: bool = True,
+               ref_codes16=None):
     """Forward phase of getSMEMsOnePosOneThread (FMI_search.cpp:1201-1260)
     over independent lanes, with a single-suffix fast path.
 
@@ -221,8 +235,7 @@ def _fwd_phase(fm: DeviceFMIndex, ref_codes, l_pac, L, x, lens_l, min_intv,
     jt = (st["n"] + 1)[:, None] + tgrid
     rb = read_grid(jt)
     rb = jnp.where(jt < lens_l[:, None], rb, 4)
-    tp = pos[:, None] + depth[:, None] + tgrid
-    tb = _text_base(ref_codes, l_pac, tp)
+    tb = _text_window(ref_codes, ref_codes16, l_pac, pos + depth, L)
     ok = (rb == tb) & (rb < 4) & (tb < 4)
     stop_t = jnp.argmax(~ok, axis=1).astype(jnp.int32)
     n_new = st["n"] + stop_t
@@ -280,7 +293,7 @@ def _bwd_eligible(st, min_intv):
 
 def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
                  min_seed_len, read_base, read_grid, st, emit,
-                 prev_cap: int, two_step: bool = True):
+                 prev_cap: int, two_step: bool = True, ref_codes16=None):
     """Run the backward phase of getSMEMsOnePosOneThread
     (FMI_search.cpp:1262-1339) over independent lanes.
 
@@ -467,8 +480,8 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
     tgrid = jnp.arange(L, dtype=jnp.int32)[None, :]
     jt = pm0[:, None] - 1 - tgrid
     rb = read_grid(jt)
-    tp = pos[:, None] - 1 - tgrid
-    tb = _text_base(ref_codes, l_pac, tp)
+    tb = _text_window(ref_codes, ref_codes16, l_pac, pos - L, L,
+                      reverse=True)
     ok = (rb == tb) & (rb < 4) & (tb < 4)
     lcp = jnp.argmax(~ok, axis=1).astype(jnp.int32)
     pm_new = pm0 - lcp
@@ -487,7 +500,7 @@ def _bwd_pyramid(fm: DeviceFMIndex, ref_codes, l_pac, L, x, min_intv,
 
 def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
                  min_intv, active, min_seed_len: int, seeds: SeedBatch,
-                 prev_cap: int, two_step: bool = True):
+                 prev_cap: int, two_step: bool = True, ref_codes16=None):
     """Run one anchor pass for every active lane.
 
     codes: int32[B, L]; lens, x, min_intv: int32[B]; active: bool[B];
@@ -507,7 +520,7 @@ def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
 
     fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens, min_intv,
                     lambda j: _read_base(codes, j), read_grid, started, P,
-                    two_step=two_step)
+                    two_step=two_step, ref_codes16=ref_codes16)
     next_x = fw["next_x"]
 
     # ---- backward phase (pyramid widths) ----
@@ -520,7 +533,8 @@ def smem_one_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, x,
     )
     st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
                       lambda j: _read_base(codes, j), read_grid, bwd0,
-                      _append_seed, P, two_step=two_step)
+                      _append_seed, P, two_step=two_step,
+                      ref_codes16=ref_codes16)
 
     # final emission: surviving prev[0] (FMI_search.cpp:1330-1339)
     final = started & (st["num_prev"] > 0)
@@ -641,7 +655,8 @@ class LaneSeeds(NamedTuple):
 def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
                        ridx, x, min_intv, active, min_seed_len: int,
                        prev_cap: int, max_out: int,
-                       two_step: bool = True, into: LaneSeeds | None = None):
+                       two_step: bool = True, into: LaneSeeds | None = None,
+                       ref_codes16=None):
     """getSMEMsOnePosOneThread over NL independent (read, anchor) lanes.
     codes int32[B, L]; ridx/x/min_intv int32[NL]; active bool[NL].
     Emissions land in per-lane buffers in machine order (appended to
@@ -665,7 +680,8 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
 
     fw = _fwd_phase(fm, ref_codes, l_pac, L, x, lens_l, min_intv,
                     lambda j: _read_base_at(codes, ridx, j), read_grid,
-                    started, P, two_step=two_step)
+                    started, P, two_step=two_step,
+                    ref_codes16=ref_codes16)
     num_prev = fw["num_prev"]
     pm, pn, pk, ps = fw["pm"], fw["pn"], fw["pk"], fw["ps"]
 
@@ -697,7 +713,8 @@ def smem_one_pos_lanes(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens,
     )
     st = _bwd_pyramid(fm, ref_codes, l_pac, L, x, min_intv, min_seed_len,
                       lambda j: _read_base_at(codes, ridx, j), read_grid,
-                      bwd0, emit, P, two_step=two_step)
+                      bwd0, emit, P, two_step=two_step,
+                      ref_codes16=ref_codes16)
 
     final = started & (st["num_prev"] > 0)
     fl = st["pn"][:, 0] - st["pm"][:, 0] + 1
@@ -768,7 +785,7 @@ def merge_lane_seeds(lanes: LaneSeeds, lane_read, lane_order, lane_valid,
 def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
                  active, min_seed_len: int, max_seeds: int, prev_cap: int,
                  two_step: bool = True, tail_frac: int = 4,
-                 lane_emit_cap: int | None = None):
+                 lane_emit_cap: int | None = None, ref_codes16=None):
     """K1: anchors sweep left to right until every lane is exhausted.
 
     two_step selects the lambert 2-chars-per-gather-pair bodies. Measured
@@ -802,7 +819,8 @@ def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
         lane_on = live(x)
         seeds, next_x = smem_one_pos(fm, ref_codes, l_pac, codes, lens, x,
                                      min_intv, lane_on, min_seed_len, seeds,
-                                     prev_cap, two_step=two_step)
+                                     prev_cap, two_step=two_step,
+                                     ref_codes16=ref_codes16)
         x = jnp.where(lane_on, next_x, x)
         return (x, seeds)
 
@@ -838,7 +856,8 @@ def smem_all_pos(fm: DeviceFMIndex, ref_codes, l_pac, codes, lens, min_intv,
         on = lane_on0 & (x_l < lens_l)
         lanes, nx = smem_one_pos_lanes(
             fm, ref_codes, l_pac, codes, lens, ridx, x_l, mi_l, on,
-            min_seed_len, prev_cap, SA, two_step=two_step, into=lanes)
+            min_seed_len, prev_cap, SA, two_step=two_step, into=lanes,
+            ref_codes16=ref_codes16)
         return (jnp.where(on, nx, x_l), lanes)
 
     _, lanes = jax.lax.while_loop(tcond, tbody, (x_l, lanes0))

@@ -212,3 +212,52 @@ def test_backward_two_step_ambiguous_second_char(world):
     ref_out, ref_nx = oracles.smem_one_pos_ref(fm, reads[0], x, 1, 5)
     assert outs[True][0][0] == oracle_to_sets(ref_out, fm)
     assert outs[True][1] == ref_nx
+
+
+def _pack16(ref: np.ndarray) -> jnp.ndarray:
+    """Doubled-space (fwd + revcomp) codes packed 16/uint32, mirroring
+    DeviceReference.__init__ (index/reference.py)."""
+    x = np.concatenate([np.asarray(ref, np.uint8),
+                        3 - np.asarray(ref, np.uint8)[::-1]])
+    nw = (len(x) + 15) // 16 + 1
+    xp = np.zeros(nw * 16, np.uint32)
+    xp[:len(x)] = x
+    return jnp.asarray(
+        (xp.reshape(nw, 16) << (2 * np.arange(16, dtype=np.uint32))
+         ).sum(axis=1, dtype=np.uint32))
+
+
+def test_packed_epilogue_parity(world):
+    """The single-suffix epilogues must emit identical seeds whether the
+    text window comes from elementwise _text_base gathers or the packed
+    16-codes/word fetch (ref_codes16)."""
+    rng, ref, fm, dfm, refc = world
+    reads = make_reads(rng, ref, n_reads=32)
+    B, L = reads.shape
+    codes = jnp.asarray(reads, jnp.int32)
+    lens = jnp.full(B, L, jnp.int32)
+    min_intv = jnp.ones(B, jnp.int32)
+    active = jnp.ones(B, bool)
+    c16 = _pack16(ref)
+    base = smemops.smem_all_pos(dfm, refc, len(ref), codes, lens,
+                                min_intv, active, 10, max_seeds=64,
+                                prev_cap=L + 2)
+    fast = smemops.smem_all_pos(dfm, refc, len(ref), codes, lens,
+                                min_intv, active, 10, max_seeds=64,
+                                prev_cap=L + 2, ref_codes16=c16)
+    for f in ("m", "n", "k", "s", "count", "overflow"):
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(fast, f)), f)
+    # K2-style lanes too (distinct anchors/min_intv per lane)
+    anchors = jnp.asarray(rng.integers(4, L - 4, B), jnp.int32)
+    mi = jnp.asarray(rng.integers(1, 4, B), jnp.int32)
+    ridx = jnp.arange(B, dtype=jnp.int32)
+    lb, _ = smemops.smem_one_pos_lanes(dfm, refc, len(ref), codes, lens,
+                                       ridx, anchors, mi, active, 10,
+                                       L + 2, 16)
+    lf, _ = smemops.smem_one_pos_lanes(dfm, refc, len(ref), codes, lens,
+                                       ridx, anchors, mi, active, 10,
+                                       L + 2, 16, ref_codes16=c16)
+    for f in ("m", "n", "k", "s", "count"):
+        np.testing.assert_array_equal(np.asarray(getattr(lb, f)),
+                                      np.asarray(getattr(lf, f)), f)
