@@ -152,7 +152,11 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         lo = jnp.max(jnp.where(tie, carange, 0), axis=1).astype(jnp.int32)
         has_lo = jnp.any(elig, axis=1)
 
-        g = lambda a: a[bidx, lo]
+        # one-hot row select: a[bidx, lo] is a B-row HBM gather (~57 ns/row
+        # on v5e, x13 fields/step it dominated the loop); the [B, C] masked
+        # sum is pure VPU
+        oh_lo = carange == lo[:, None]
+        g = lambda a: jnp.sum(jnp.where(oh_lo, a, 0), axis=1)
         same_rid = g(st["crid"]) == rd
         contained = (qb >= g(st["fq"])) & (qb + ln <= g(st["lq"]) + g(st["ll"])) & \
             (rb >= g(st["fr"])) & (rb + ln <= g(st["lr"]) + g(st["ll"]))
@@ -170,8 +174,6 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
         # --- append to chain `lo` --- (one-hot selects: row scatters
         # serialize on TPU, see ops/smem.py)
-        oh_lo = carange == lo[:, None]
-
         def upd(a, val, mask):
             return jnp.where(oh_lo & mask[:, None], val[:, None], a)
 

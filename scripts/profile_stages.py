@@ -27,7 +27,8 @@ def main():
 
     rng = np.random.default_rng(0)
     n_ref = 2_000_000
-    L, B = 151, 1024
+    import os
+    L, B = 151, int(os.environ.get('PROF_B', 1024))
     pref = PackedReference.from_contigs(
         ["chr1"], [rng.integers(0, 4, n_ref).astype(np.uint8)])
     fm = FMIndex.build(pref.codes)
@@ -106,3 +107,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+# (B override via argv for scaling probes)
