@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import AlignConfig
 from ..ops import smem as smemops
+from ..ops import smem_sweep as sweepops
 from ..ops.fm import DeviceFMIndex
 from ..ops.smem import SeedBatch
 
@@ -32,7 +33,8 @@ INT32_MAX = jnp.int32(2**31 - 1)
 
 def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
                   opt: AlignConfig, max_seeds: int, prev_cap: int = 20,
-                  k2_per_read: int = 2, lane_emit_cap: int = 16) -> SeedBatch:
+                  k2_per_read: int = 2, lane_emit_cap: int = 16,
+                  use_sweep: bool = True) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -44,19 +46,23 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     B, L = codes.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
-    # --- K1: frontier anchor sweep. Random FM gathers are row-count
-    # bound on TPU (~50M rows/s through XLA); with only a handful of
-    # anchors per read the sequential frontier does far fewer speculative
-    # gathers than the anchor-parallel discovery pass (smem_all_pos vs
-    # anchor_next_x — the latter remains for dense-anchor inputs). ---
-    # two_step (lambert 2-chars-per-gather-pair) wins at the pipeline's
-    # prev_cap=20 for both K1 and K2 (v5e: 433 -> 359 ms/1024 reads);
-    # at wide prev_cap=64 the one-step K1 body is faster — the flag
-    # stays per-call for that reason.
-    seeds = smemops.smem_all_pos(dfm, dref.codes, dref.l_pac, codes, lens,
-                                 jnp.ones(B, jnp.int32), active,
-                                 opt.min_seed_len, max_seeds, prev_cap,
-                                 ref_codes16=dref.codes16)
+    # --- K1. Default: the self-restarting sweep + independent backward
+    # entry lanes (ops/smem_sweep.py) — near-full lane occupancy, ~2
+    # gather rows per unit of work, and throughput that scales with
+    # batch size into the large-N gather plateau (the wave machine is
+    # flat in B). use_sweep=False falls back to the wave machine
+    # (ops/smem.py), which the sweep is parity-tested against. ---
+    if use_sweep:
+        seeds = sweepops.smem_all_pos_sweep(
+            dfm, dref.codes16, codes, lens, jnp.ones(B, jnp.int32),
+            active, opt.min_seed_len, max_seeds, prev_cap,
+            entry_cap=min(2 * L + 16, 192), bwd_mult=44)
+    else:
+        seeds = smemops.smem_all_pos(
+            dfm, dref.codes, dref.l_pac, codes, lens,
+            jnp.ones(B, jnp.int32), active,
+            opt.min_seed_len, max_seeds, prev_cap,
+            ref_codes16=dref.codes16)
     k1_count = seeds.count
 
     # --- K2: qualifying K1 SMEMs re-seeded at their midpoint. Jobs are
@@ -80,12 +86,18 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         jnp.where(fq & (qslot >= NK), jnp.arange(B * S) // S, B)
     ].max(fq & (qslot >= NK), mode="drop")
 
-    k2lanes, _ = smemops.smem_one_pos_lanes(
-        dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x, job_mi,
-        k_on, opt.min_seed_len, prev_cap, lane_emit_cap,
-        ref_codes16=dref.codes16)
-    seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on, B,
-                                     max_seeds, into=seeds)
+    if use_sweep:
+        seeds = sweepops.smem_lanes_sweep(
+            dfm, dref.codes16, codes, lens, k_read, job_x, job_mi, k_on,
+            opt.min_seed_len, prev_cap, B, max_seeds, into=seeds,
+            entry_cap=prev_cap + 2, bwd_mult=8)
+    else:
+        k2lanes, _ = smemops.smem_one_pos_lanes(
+            dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x,
+            job_mi, k_on, opt.min_seed_len, prev_cap, lane_emit_cap,
+            ref_codes16=dref.codes16)
+        seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on,
+                                         B, max_seeds, into=seeds)
 
     # --- K3 ---
     if opt.max_mem_intv > 0:
