@@ -83,16 +83,25 @@ def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
             (base + cnt).astype(jnp.int32), t.repeat(B, 0))
     owner = jnp.clip(owner, 0, S - 1).astype(jnp.int32)
     valid = t < jnp.minimum(total, P)[:, None]
-    occ_idx = t - jnp.take_along_axis(base, owner, axis=1)
-    k_own = jnp.take_along_axis(smems.k, owner, axis=1)
-    sa_row = k_own + occ_idx * jnp.take_along_axis(step, owner, axis=1)
+    # ONE fused multi-field row gather for all per-owner fields: row
+    # gathers cost per ROW, not per byte (see README perf model), so
+    # stacking (base, k, step, m, n) into a [B*S, 5] table makes the
+    # five former take_along_axis gathers cost one
+    tbl = jnp.stack([base, smems.k, step, smems.m, smems.n],
+                    axis=-1).reshape(B * S, 5)
+    rows = jnp.take(tbl, (jnp.arange(B, dtype=jnp.int32)[:, None] * S +
+                          owner).reshape(-1), axis=0,
+                    mode="clip").reshape(B, P, 5)
+    occ_idx = t - rows[:, :, 0]
+    k_own = rows[:, :, 1]
+    sa_row = k_own + occ_idx * rows[:, :, 2]
     # k < -1 encodes a direct text position (-k - 2): single-suffix
     # seeds from the SMEM fast path skip the SA round trip entirely
     rbeg = jnp.where(
         k_own < -1, -k_own - 2,
         fmops.sa_lookup(dfm, jnp.clip(sa_row, 0, dfm.sa.shape[0] - 1)))
-    qbeg = jnp.take_along_axis(smems.m, owner, axis=1)
-    qend = jnp.take_along_axis(smems.n, owner, axis=1)
+    qbeg = rows[:, :, 3]
+    qend = rows[:, :, 4]
     slen = qend + 1 - qbeg
 
     in_ref = rbeg + qend - qbeg <= 2 * dref.l_pac   # rotation guard
@@ -103,7 +112,7 @@ def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
 def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
                 lens, opt: AlignConfig, max_seedpos: int,
-                max_chains: int) -> ChainBatch:
+                max_chains: int, use_pallas: bool | None = None) -> ChainBatch:
     B, S = smems.m.shape
     P, C = max_seedpos, max_chains
     bidx = jnp.arange(B)
@@ -123,6 +132,34 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
     qbeg, rbeg, slen, rid, valid, overflow = expand_seeds(
         dfm, dref, smems, opt, P)
+
+    if use_pallas is None:
+        try:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        except Exception:  # noqa: BLE001
+            use_pallas = False
+    if use_pallas:
+        # VMEM-resident chain loop (ops/chain_pallas.py): bit-identical
+        # to the jnp while_loop below, but all seed steps run in one
+        # launch instead of one HBM round-trip per step
+        from ..ops.chain_pallas import chain_loop_pallas
+        stp = chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow,
+                                dref.l_pac, C, opt.w, opt.max_chain_gap)
+        weight = jnp.minimum(jnp.minimum(stp["wq"], stp["wr"]),
+                             (1 << 30) - 1)
+        st = dict(pos=stp["pos"], crid=stp["crid"], fq=stp["fq"],
+                  fr=stp["fr"], lq=stp["lq"], lr=stp["lr"], ll=stp["ll"],
+                  ns=stp["ns"], n=stp["n"], chain_of=stp["chain_of"],
+                  ovf=stp["ovf"])
+        kept = _chain_flt(st, weight, dref, opt, C)
+        return ChainBatch(
+            seed_qbeg=qbeg, seed_rbeg=rbeg, seed_len=slen,
+            seed_chain=st["chain_of"],
+            pos=st["pos"], rid=st["crid"], first_q=st["fq"],
+            first_r=st["fr"], last_q=st["lq"], last_r=st["lr"],
+            last_len=st["ll"], n_seeds=st["ns"], weight=weight, kept=kept,
+            n_chains=st["n"], frac_rep=frac_rep, overflow=st["ovf"],
+        )
 
     zC = jnp.zeros((B, C), jnp.int32)
     st = dict(

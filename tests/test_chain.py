@@ -102,3 +102,39 @@ def test_chain_parity(rng):
                     for c in surv}
         for key, (w, kept) in dev.items():
             assert kept == exp_kept.get(key, 0), (b, key, kept, exp_kept)
+
+
+def test_chain_pallas_matches_jnp(rng):
+    """Pallas chain-loop kernel (interpret mode on CPU) is bit-identical
+    to the jnp while_loop across every ChainBatch field."""
+    pref, fm = _setup(rng, n_contigs=3, contig_len=900)
+    dref = DeviceReference(pref)
+    dfm = DeviceFMIndex.from_host(fm)
+    opt = AlignConfig()
+    B, L = 13, 101  # non-multiple of the tile width exercises padding
+    codes = _reads(rng, pref, B, L, mut=0.05)
+    lens = np.asarray([L] * (B - 2) + [70, 0], np.int32)
+    active = np.ones(B, bool)
+    active[-1] = False
+
+    seeds = collect_seeds(dfm, dref, jnp.asarray(codes), jnp.asarray(lens),
+                          jnp.asarray(active), opt, max_seeds=128,
+                          prev_cap=64)
+
+    import unittest.mock as mock
+    ref = chainmod.chain_seeds(dfm, dref, seeds, jnp.asarray(lens), opt,
+                               max_seedpos=256, max_chains=32,
+                               use_pallas=False)
+    from fgdp_tpu.ops import chain_pallas
+    orig = chain_pallas.chain_loop_pallas
+
+    def interp(*a, **kw):
+        return orig(*a, interpret=True, **kw)
+
+    with mock.patch.object(chain_pallas, "chain_loop_pallas", interp):
+        got = chainmod.chain_seeds(dfm, dref, seeds, jnp.asarray(lens),
+                                   opt, max_seedpos=256, max_chains=32,
+                                   use_pallas=True)
+    for name in ref._fields:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        assert np.array_equal(a, b), (name, a, b)
