@@ -135,7 +135,7 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
     if use_pallas is None:
         try:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         except Exception:  # noqa: BLE001
             use_pallas = False
     if use_pallas:

@@ -31,14 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_B = 256
 
 # scratch field rows (each C tall): insertion-order chain table
-(_POS, _CRID, _FQ, _FR, _LQ, _LR, _LL, _NS, _WQ, _WR, _R0, _R1,
- _QEND, _REND) = range(14)
-N_FIELDS = 14
-N_OUT = 12  # pos..r1 are returned; qend/rend are loop-internal
+(_POS, _CRID, _FQ, _FR, _LQ, _LR, _LL, _NS, _WQ, _WR,
+ _QEND, _REND) = range(12)
+N_FIELDS = 12
+N_OUT = 10  # pos..wr are returned; qend/rend are loop-internal
 
 
 def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
-            bt_ref, et_ref, lpac_ref, ovf_in_ref,
+            lpac_ref, ovf_in_ref,
             state_ref, n_ref, ovf_ref, chain_of_ref,
             st, sc,
             *, C, P, w, max_chain_gap):
@@ -64,7 +64,6 @@ def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
         v = row(valid_ref) != 0
         qb, rb, ln, rd = (row(qbeg_ref), row(rbeg_ref),
                           row(slen_ref), row(rid_ref))
-        bt, et = row(bt_ref), row(et_ref)
         n = sc[pl.ds(0, 1), :]
         ovf = sc[pl.ds(1, 1), :]
 
@@ -72,7 +71,6 @@ def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
         fq, fr = fld(_FQ), fld(_FR)
         lq, lr, ll, ns = fld(_LQ), fld(_LR), fld(_LL), fld(_NS)
         wq, wr, qend, rend = fld(_WQ), fld(_WR), fld(_QEND), fld(_REND)
-        r0, r1 = fld(_R0), fld(_R1)
 
         have = ciota < n
         elig = have & (pos <= rb)
@@ -112,10 +110,6 @@ def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
         wr2 = jnp.where(app_m, g(wr) + dr, wr)
         qend2 = jnp.where(app_m, jnp.maximum(g_qend, qb + ln), qend)
         rend2 = jnp.where(app_m, jnp.maximum(g_rend, rb + ln), rend)
-        # per-chain ref-window bounds (mem_chain2aln rmax,
-        # bwamem.cpp:2608-2630) accumulate for free during the append
-        r02 = jnp.where(app_m, jnp.minimum(g(r0), bt), r0)
-        r12 = jnp.where(app_m, jnp.maximum(g(r1), et), r1)
 
         # --- new chain in slot n ---
         room = n < C
@@ -133,8 +127,6 @@ def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
         st[pl.ds(_NS * C, C), :] = put(ns2, one)
         st[pl.ds(_WQ * C, C), :] = put(wq2, ln)
         st[pl.ds(_WR * C, C), :] = put(wr2, ln)
-        st[pl.ds(_R0 * C, C), :] = put(r02, bt)
-        st[pl.ds(_R1 * C, C), :] = put(r12, et)
         st[pl.ds(_QEND * C, C), :] = put(qend2, qb + ln)
         st[pl.ds(_REND * C, C), :] = put(rend2, rb + ln)
         sc[pl.ds(0, 1), :] = n + (new_chain & room).astype(jnp.int32)
