@@ -642,9 +642,9 @@ def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
             rlen = len(ln["rseq"])
             if l_query == rlen and ln["w2"] == 0:   # no-gap fast path
                 ln["cigar"] = [(0, l_query)]
-                ln["score"] = int(sum(
-                    int(mat[ln["rseq"][i], ln["query"][i]])
-                    for i in range(l_query)))
+                ln["score"] = int(mat[np.asarray(ln["rseq"], np.intp),
+                                      np.asarray(ln["query"], np.intp)]
+                                  .sum())
             else:
                 max_ins = int((((l_query + 1) >> 1) * opt.a - opt.o_ins) /
                               opt.e_ins + 1.0)
@@ -670,12 +670,30 @@ def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
                 qlens[i] = len(ln["query"])
                 tlens[i] = len(ln["rseq"])
                 ws[i] = ln["_ww"]
-            scores, cigars = ksw_global_batch(
+            # native banded DP when available (computes only the band,
+            # pthread fan-out); numpy twin otherwise / on cigar overflow
+            from ..io import native as _native
+            res = _native.ksw_global_batch(
                 qs, qlens, ts, tlens, ws, opt.o_del, opt.e_del,
                 opt.o_ins, opt.e_ins, mat)
-            for i, ln in enumerate(dp):
-                ln["score"] = int(scores[i])
-                ln["cigar"] = cigars[i]
+            if res is not None:
+                scores, cigars = res
+                for i, ln in enumerate(dp):
+                    if cigars[i] is None:   # > max_cig ops: scalar twin
+                        sc, cg = ksw_global(
+                            ln["query"], ln["rseq"], opt.o_del, opt.e_del,
+                            opt.o_ins, opt.e_ins, int(ws[i]), mat)
+                        ln["score"], ln["cigar"] = int(sc), cg
+                    else:
+                        ln["score"] = int(scores[i])
+                        ln["cigar"] = cigars[i]
+            else:
+                scores, cigars = ksw_global_batch(
+                    qs, qlens, ts, tlens, ws, opt.o_del, opt.e_del,
+                    opt.o_ins, opt.e_ins, mat)
+                for i, ln in enumerate(dp):
+                    ln["score"] = int(scores[i])
+                    ln["cigar"] = cigars[i]
         for ln in pend:
             if ln["score"] == ln["last_sc"] or ln["w2"] == opt.w * 4:
                 ln["done"] = True
@@ -741,6 +759,8 @@ def _cigar_str(opt, aln, which):
 
 _SEQ_FWD = "ACGTN"
 _SEQ_REV = "TGCAN"
+_SEQ_FWD_U8 = np.frombuffer(b"ACGTN", np.uint8)
+_SEQ_REV_U8 = np.frombuffer(b"TGCAN", np.uint8)
 
 
 def _cigar_rlen(cigar):
@@ -804,11 +824,12 @@ def aln2sam(pref: PackedReference, opt: AlignConfig, name, codes, qual,
                     qb += p["cigar"][-1][1]
                 else:
                     qe -= p["cigar"][-1][1]
+        cseg = np.asarray(codes[qb:qe], np.intp)
         if p["is_rev"]:
-            seq = "".join(_SEQ_REV[c] for c in codes[qb:qe][::-1])
+            seq = _SEQ_REV_U8[cseg[::-1]].tobytes().decode("ascii")
             q = qual[qb:qe][::-1] if qual else "*"
         else:
-            seq = "".join(_SEQ_FWD[c] for c in codes[qb:qe])
+            seq = _SEQ_FWD_U8[cseg].tobytes().decode("ascii")
             q = qual[qb:qe] if qual else "*"
         cols += [seq, q if q else "*"]
     tags = []

@@ -43,6 +43,7 @@ def get_lib():
         lib.encode_bam_records.restype = ctypes.c_int64
         lib.bgzf_compress_parallel.restype = ctypes.c_int64
         lib.suffix_array_u8.restype = ctypes.c_int64
+        lib.ksw_global_batch_native.restype = ctypes.c_int
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -196,6 +197,54 @@ def bgzf_compress(data: bytes, level: int = 6, threads: int = 8):
               min(n - b * MAX_BLOCK, MAX_BLOCK) if n else 0)
              for b in range(n_blocks)]
     return bytes(out[:w]), table
+
+
+def ksw_global_batch(queries, qlens, targets, tlens, ws, o_del, e_del,
+                     o_ins, e_ins, mat, nthreads: int | None = None,
+                     max_cig: int = 96):
+    """Batched banded global alignment with traceback (native
+    transcription of align/finalize.ksw_global — reference ksw_global2,
+    src/ksw.cpp). Returns (scores int64[N], cigars list[[(op, len)]])
+    or None when the native library is unavailable. Jobs whose cigar
+    exceeds max_cig ops come back as None entries in the cigars list
+    (caller falls back per job)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ksw_global_batch_native"):
+        return None
+    N = len(qlens)
+    if N == 0:
+        return np.zeros(0, np.int64), []
+    qs = np.ascontiguousarray(queries, np.uint8)
+    ts = np.ascontiguousarray(targets, np.uint8)
+    ql = np.ascontiguousarray(qlens, np.int32)
+    tl = np.ascontiguousarray(tlens, np.int32)
+    wsa = np.ascontiguousarray(ws, np.int32)
+    m8 = np.ascontiguousarray(np.asarray(mat).reshape(25), np.int8)
+    scores = np.zeros(N, np.int32)
+    cig = np.zeros((N, 2 * max_cig), np.int32)
+    ncig = np.zeros(N, np.int32)
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    lib.ksw_global_batch_native(
+        _ptr(qs, ctypes.c_ubyte), _ptr(ts, ctypes.c_ubyte),
+        _ptr(ql, ctypes.c_int32), _ptr(tl, ctypes.c_int32),
+        _ptr(wsa, ctypes.c_int32),
+        ctypes.c_int64(N), ctypes.c_int64(qs.shape[1]),
+        ctypes.c_int64(ts.shape[1]), _ptr(m8, ctypes.c_int8),
+        ctypes.c_int(o_del), ctypes.c_int(e_del), ctypes.c_int(o_ins),
+        ctypes.c_int(e_ins), ctypes.c_int(nthreads),
+        _ptr(scores, ctypes.c_int32), _ptr(cig, ctypes.c_int32),
+        _ptr(ncig, ctypes.c_int32), ctypes.c_int64(max_cig))
+    cigars = []
+    for j in range(N):
+        nc = int(ncig[j])
+        if nc < 0:
+            cigars.append(None)
+        else:
+            row = cig[j, :2 * nc]
+            cigars.append([(int(row[2 * i]), int(row[2 * i + 1]))
+                           for i in range(nc)])
+    return scores.astype(np.int64), cigars
 
 
 def suffix_array_u8(codes: np.ndarray):

@@ -838,3 +838,187 @@ extern "C" int64_t suffix_array_u8(const uint8_t* s, int64_t n,
     for (int64_t i = 1; i <= n; i++) sa_out[i - 1] = SA[i];
     return n;
 }
+
+// ----------------------------------------------------------------------
+// Batched banded global alignment with traceback (ksw_global2 semantics).
+//
+// Bit-for-bit transcription of the framework's Python oracle
+// (fgdp_tpu/align/finalize.py ksw_global, itself transcribing the
+// reference src/ksw.cpp ksw_global2): same z direction bits
+// (f<<5 | e<<2 | h), same tie-breaks, same backtrack. The Python numpy
+// batch computed every padded column; this computes only the band and
+// fans jobs out over a pthread pool — the reg2aln CIGAR DP was the
+// dominant host finalize cost (VERDICT round 1 item 3b).
+
+namespace kswg {
+
+const int32_t KMINUS_INF = -0x40000000;
+
+struct Batch {
+    const uint8_t* queries;   // [N, QM]
+    const uint8_t* targets;   // [N, TM]
+    const int32_t* qlens;
+    const int32_t* tlens;
+    const int32_t* ws;
+    int64_t N, QM, TM;
+    const int8_t* mat;        // 5x5
+    int o_del, e_del, o_ins, e_ins;
+    int32_t* scores;          // [N]
+    int32_t* cigars;          // [N, 2*max_cig] (op,len) pairs
+    int32_t* n_cigar;         // [N]; -1 = cigar overflow
+    int64_t max_cig;
+    int64_t next;             // atomic cursor
+    pthread_mutex_t lock;
+};
+
+static void push_op(int32_t* cig, int32_t* n, int64_t cap, int op,
+                    int32_t len) {
+    if (*n > 0 && cig[2 * (*n - 1)] == op) {
+        cig[2 * (*n - 1) + 1] += len;
+    } else if (*n < cap) {
+        cig[2 * *n] = op;
+        cig[2 * *n + 1] = len;
+        (*n)++;
+    } else {
+        *n = -1;  // overflow — caller falls back
+    }
+}
+
+static void align_one(Batch* B, int64_t j0, int32_t* eh_h, int32_t* eh_e,
+                      uint8_t* z) {
+    const uint8_t* query = B->queries + j0 * B->QM;
+    const uint8_t* target = B->targets + j0 * B->TM;
+    int qlen = B->qlens[j0], tlen = B->tlens[j0], w = B->ws[j0];
+    int o_del = B->o_del, e_del = B->e_del;
+    int o_ins = B->o_ins, e_ins = B->e_ins;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int n_col = qlen < 2 * w + 1 ? qlen : 2 * w + 1;
+
+    for (int j = 0; j <= qlen + 1; j++) {
+        eh_h[j] = KMINUS_INF;
+        eh_e[j] = KMINUS_INF;
+    }
+    eh_h[0] = 0;
+    for (int j = 1; j <= qlen && j <= w; j++)
+        eh_h[j] = -(o_ins + e_ins * j);
+
+    for (int i = 0; i < tlen; i++) {
+        int beg = i - w > 0 ? i - w : 0;
+        int end = i + w + 1 < qlen ? i + w + 1 : qlen;
+        if (beg >= end) continue;
+        // h1 = H(i, j-1) running value; at j=beg the left boundary
+        int32_t h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : KMINUS_INF;
+        const int8_t* qp = B->mat + 5 * target[i];
+        int32_t f = KMINUS_INF;
+        uint8_t* zr = z + (int64_t)i * n_col;
+        for (int j = beg; j < end; j++) {
+            // shifted storage: eh_h[j] = H(i-1, j-1), eh_e[j] = E(i, j)
+            int32_t m = eh_h[j] + qp[query[j]];
+            int32_t e = eh_e[j];
+            eh_h[j] = h1;                       // becomes H(i, j-1)
+            uint8_t d = m < e ? 1 : 0;
+            int32_t h = m >= e ? m : e;
+            d = h >= f ? d : 2;
+            int32_t H = h >= f ? h : f;
+            d |= (uint8_t)(e - e_del > m - oe_del) << 2;
+            d |= (uint8_t)(f - e_ins > m - oe_ins) << 5;
+            zr[j - beg] = d;
+            int32_t e2 = m - oe_del;
+            int32_t e3 = e - e_del;
+            eh_e[j] = e2 > e3 ? e2 : e3;
+            int32_t f2 = f - e_ins;
+            int32_t f3 = m - oe_ins;
+            f = f2 > f3 ? f2 : f3;
+            h1 = H;
+        }
+        eh_h[end] = h1;
+        eh_e[end] = KMINUS_INF;
+    }
+    B->scores[j0] = eh_h[qlen];
+
+    // backtrack (ksw.cpp:196-211): which 0=M 1=D(from E) 2/3=I(from F)
+    int32_t* cig = B->cigars + j0 * 2 * B->max_cig;
+    int32_t nc = 0;
+    int i = tlen - 1;
+    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+    int which = 0;
+    // ops pushed in reverse; collected then reversed at the end
+    int32_t* rev_ops = (int32_t*)malloc(
+        (size_t)(qlen + tlen + 2) * sizeof(int32_t));
+    int nrev = 0;
+    while (i >= 0 && k >= 0) {
+        int beg = i - w > 0 ? i - w : 0;
+        which = (z[(int64_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
+        if (which == 0) { rev_ops[nrev++] = 0; i--; k--; }
+        else if (which == 1) { rev_ops[nrev++] = 2; i--; }
+        else { rev_ops[nrev++] = 1; k--; }
+    }
+    if (i >= 0) push_op(cig, &nc, B->max_cig, 2, i + 1);
+    if (k >= 0) push_op(cig, &nc, B->max_cig, 1, k + 1);
+    for (int r = nrev - 1; r >= 0 && nc >= 0; r--)
+        push_op(cig, &nc, B->max_cig, rev_ops[r], 1);
+    free(rev_ops);
+    B->n_cigar[j0] = nc;
+}
+
+static void* worker(void* arg) {
+    Batch* B = (Batch*)arg;
+    // per-thread scratch sized to the batch maxima
+    int32_t* eh_h = (int32_t*)malloc((size_t)(B->QM + 2) * sizeof(int32_t));
+    int32_t* eh_e = (int32_t*)malloc((size_t)(B->QM + 2) * sizeof(int32_t));
+    uint8_t* z = (uint8_t*)malloc((size_t)B->TM * B->QM);
+    for (;;) {
+        pthread_mutex_lock(&B->lock);
+        int64_t j = B->next++;
+        pthread_mutex_unlock(&B->lock);
+        if (j >= B->N) break;
+        if (B->qlens[j] <= 0 || B->tlens[j] <= 0) {
+            B->scores[j] = KMINUS_INF;
+            B->n_cigar[j] = 0;
+            continue;
+        }
+        align_one(B, j, eh_h, eh_e, z);
+    }
+    free(eh_h); free(eh_e); free(z);
+    return nullptr;
+}
+
+}  // namespace kswg
+
+extern "C" {
+
+// Batched banded global alignment. queries/targets: uint8 [N,QM]/[N,TM]
+// row-major (codes 0..4); cigars: int32 [N, 2*max_cig] (op,len) pairs,
+// op in {0:M, 1:I, 2:D}; n_cigar[j] = -1 flags cigar-capacity overflow
+// (caller falls back to the Python path for that job). Returns 0.
+int ksw_global_batch_native(
+        const uint8_t* queries, const uint8_t* targets,
+        const int32_t* qlens, const int32_t* tlens, const int32_t* ws,
+        int64_t N, int64_t QM, int64_t TM, const int8_t* mat,
+        int o_del, int e_del, int o_ins, int e_ins, int nthreads,
+        int32_t* scores, int32_t* cigars, int32_t* n_cigar,
+        int64_t max_cig) {
+    kswg::Batch B;
+    B.queries = queries; B.targets = targets;
+    B.qlens = qlens; B.tlens = tlens; B.ws = ws;
+    B.N = N; B.QM = QM; B.TM = TM;
+    B.mat = mat;
+    B.o_del = o_del; B.e_del = e_del; B.o_ins = o_ins; B.e_ins = e_ins;
+    B.scores = scores; B.cigars = cigars; B.n_cigar = n_cigar;
+    B.max_cig = max_cig;
+    B.next = 0;
+    pthread_mutex_init(&B.lock, nullptr);
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 64) nthreads = 64;
+    int nt = (int)(nthreads < N ? nthreads : N);
+    if (nt < 1) nt = 1;
+    pthread_t tids[64];
+    for (int t = 0; t < nt; t++)
+        pthread_create(&tids[t], nullptr, kswg::worker, &B);
+    for (int t = 0; t < nt; t++)
+        pthread_join(tids[t], nullptr);
+    pthread_mutex_destroy(&B.lock);
+    return 0;
+}
+
+}  // extern "C"

@@ -105,3 +105,51 @@ def test_bgzf_parallel_roundtrip():
     v = vm.voffset(700_000)
     blk = 700_000 // 0xFF00
     assert v == (table[blk][1] << 16 | (700_000 - blk * 0xFF00))
+
+
+def test_ksw_global_native_parity(rng):
+    """Native banded-global DP (ksw_global_batch_native) is bit-identical
+    to the Python scalar transcription over random indel/mismatch jobs."""
+    from fgdp_tpu.align import finalize
+    from fgdp_tpu.io import native
+
+    mat = np.full((5, 5), -4, np.int32)
+    np.fill_diagonal(mat, 1)
+    mat[4, :] = -1
+    mat[:, 4] = -1
+    N = 60
+    QM = TM = 180
+    qs = np.zeros((N, QM), np.uint8)
+    ts = np.zeros((N, TM), np.uint8)
+    qlens = np.zeros(N, np.int32)
+    tlens = np.zeros(N, np.int32)
+    ws = np.zeros(N, np.int32)
+    for j in range(N):
+        tl = int(rng.integers(20, TM))
+        t = rng.integers(0, 4, tl).astype(np.uint8)
+        # query = target with mutations/indels
+        q = list(t)
+        for _ in range(int(rng.integers(0, 8))):
+            k = int(rng.integers(0, len(q)))
+            r = rng.random()
+            if r < 0.5:
+                q[k] = int(rng.integers(0, 5))
+            elif r < 0.75 and len(q) > 21:
+                del q[k]
+            else:
+                q.insert(k, int(rng.integers(0, 4)))
+        q = np.asarray(q[:QM], np.uint8)
+        qs[j, :len(q)] = q
+        ts[j, :tl] = t
+        qlens[j] = len(q)
+        tlens[j] = tl
+        ws[j] = int(rng.integers(3, 40))
+    res = native.ksw_global_batch(qs, qlens, ts, tlens, ws,
+                                  6, 1, 6, 1, mat)
+    assert res is not None, "native library must build in CI"
+    scores, cigars = res
+    for j in range(N):
+        sc, cg = finalize.ksw_global(qs[j, :qlens[j]], ts[j, :tlens[j]],
+                                     6, 1, 6, 1, int(ws[j]), mat)
+        assert int(scores[j]) == sc, j
+        assert cigars[j] == cg, j
