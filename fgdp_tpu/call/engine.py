@@ -249,13 +249,36 @@ class Mutect2Engine:
         variant priors (SomaticClusteringModel.cpp:241-247)."""
         cfg = self.cfg
         n = len(self.ref)
-        self.callable_sites = 0
-        calls = []
-        active_regions = []
         t_index = _ReadIndex(tumor_reads)
         n_index = _ReadIndex(normal_reads)
-        for rstart in range(0, n, cfg.region_size):
-            rend = min(rstart + cfg.region_size, n)
+
+        def windows():
+            for rstart in range(0, n, cfg.region_size):
+                yield (rstart, min(rstart + cfg.region_size, n),
+                       t_index, n_index)
+
+        return self.call_windows(windows())
+
+    def call_windows(self, windows):
+        """Streaming form of call(): windows yields (rstart, rend,
+        t_index, n_index) where the _ReadIndex objects cover at least
+        [rstart - padding, rend + padding). This is the engine half of
+        the reference's ReadCache region loop (main.cpp:254-307) — the
+        source decides how reads materialize (whole-contig in-memory or
+        BAI-windowed from disk, call/readcache.py)."""
+        cfg = self.cfg
+        n = len(self.ref)
+        self.callable_sites = 0
+        calls = []
+
+        # pipelined regions: dispatch region i's PairHMM, assemble the
+        # following regions on host while the device crunches; finish in
+        # order. Depth > 1 keeps several small regions in flight (the
+        # reference's device-wide PairHMM batching analogue).
+        import collections
+        DEPTH = 3
+        pending = collections.deque()
+        for rstart, rend, t_index, n_index in windows:
             t_reads = t_index.span(rstart, rend)
             if not t_reads:
                 continue
@@ -276,21 +299,11 @@ class Mutect2Engine:
             for reg in regions:
                 if not reg.is_active:
                     continue
-                active_regions.append(reg)
-
-        # pipelined regions: dispatch region i's PairHMM, assemble the
-        # following regions on host while the device crunches; finish in
-        # order. Depth > 1 keeps several small regions in flight (the
-        # reference's device-wide PairHMM batching analogue).
-        import collections
-        DEPTH = 3
-        pending = collections.deque()
-        for reg in active_regions:
-            prep = self._prepare_region(reg, t_index, n_index)
-            if prep is not None:
-                pending.append((prep, self._dispatch_region(prep)))
-            while len(pending) >= DEPTH:
-                calls.extend(self._finish_region(*pending.popleft()))
+                prep = self._prepare_region(reg, t_index, n_index)
+                if prep is not None:
+                    pending.append((prep, self._dispatch_region(prep)))
+                while len(pending) >= DEPTH:
+                    calls.extend(self._finish_region(*pending.popleft()))
         while pending:
             calls.extend(self._finish_region(*pending.popleft()))
         calls.sort(key=lambda c: c.pos)

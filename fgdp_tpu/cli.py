@@ -205,28 +205,14 @@ def _bam_to_read_dicts(path):
 
 
 def cmd_mutect(args):
+    import dataclasses
+    import os
+
     from .call.engine import Mutect2Engine, write_vcf
+    from .config import CallConfig
     from .io.fasta import read_fasta
 
     ref = read_fasta(args.reference)
-    names, lens, tumor = _bam_to_read_dicts(args.input)
-    normal = _bam_to_read_dicts(args.normal)[2] if args.normal else []
-    # --bqsr-within-mutect (reference main.cpp:204-211): recalibrate
-    # base qualities from per-sample recal tables before calling
-    if args.bqsr_tumor:
-        from .call.bqsr import BQSRReadTransformer
-        tr = BQSRReadTransformer(args.bqsr_tumor)
-        for r in tumor:
-            tr.apply(r)
-    if args.bqsr_normal and normal:
-        from .call.bqsr import BQSRReadTransformer
-        tr = BQSRReadTransformer(args.bqsr_normal)
-        for r in normal:
-            tr.apply(r)
-    import dataclasses
-
-    from .config import CallConfig
-
     cfg = CallConfig()
     overrides = {k: v for k, v in dict(
         callable_depth=args.callable_depth,
@@ -241,22 +227,70 @@ def cmd_mutect(args):
         overrides["kmer_sizes"] = tuple(sorted(args.kmer_size))
     cfg = dataclasses.replace(cfg, **overrides)
 
+    # --bqsr-within-mutect (reference main.cpp:204-211): recalibrate
+    # base qualities from per-sample recal tables before calling
+    t_bqsr = n_bqsr = None
+    if args.bqsr_tumor:
+        from .call.bqsr import BQSRReadTransformer
+        t_bqsr = BQSRReadTransformer(args.bqsr_tumor)
+    if args.bqsr_normal:
+        from .call.bqsr import BQSRReadTransformer
+        n_bqsr = BQSRReadTransformer(args.bqsr_normal)
+
     all_calls = []
     callable_sites = 0
-    from .call.transformers import palindrome_artifact_clip
-    for cid, cname in enumerate(ref.names):
-        codes = ref.contig_codes(cid)
-        t = [r for r in tumor if r["rid"] == cid]
-        nr = [r for r in normal if r["rid"] == cid]
-        if not t:
-            continue
-        # per-read hairpin-artifact clip (ReadCache.cpp:27,115)
-        for r in t + nr:
-            palindrome_artifact_clip(r, codes)
-        eng = Mutect2Engine(codes, cname, cfg=cfg,
-                            cnn_model_path=args.deep_model)
-        all_calls.extend(eng.call(t, nr))
-        callable_sites += eng.callable_sites
+    streamed = os.path.exists(args.input + ".bai") and \
+        (not args.normal or os.path.exists(args.normal + ".bai"))
+    if streamed:
+        # BAI-windowed streaming (reference ReadCache region loop,
+        # main.cpp:254): one 1 Mb window + padding resident at a time,
+        # with per-alignment-start downsampling applied per window
+        from .call.readcache import StreamingReadSource
+
+        src = StreamingReadSource(args.input, args.normal, cfg=cfg,
+                                  tumor_bqsr=t_bqsr, normal_bqsr=n_bqsr)
+        try:
+            for cid, cname in enumerate(ref.names):
+                if cname not in src.names:
+                    continue
+                rid = src.names.index(cname)
+                codes = ref.contig_codes(cid)
+                eng = Mutect2Engine(codes, cname, cfg=cfg,
+                                    cnn_model_path=args.deep_model)
+                all_calls.extend(
+                    eng.call_windows(src.windows(rid, codes)))
+                callable_sites += eng.callable_sites
+        finally:
+            src.close()
+    else:
+        # whole-BAM fallback (no .bai next to the input)
+        from .call.readcache import downsample_reads
+        from .call.transformers import palindrome_artifact_clip
+
+        names, lens, tumor = _bam_to_read_dicts(args.input)
+        normal = _bam_to_read_dicts(args.normal)[2] if args.normal else []
+        if t_bqsr:
+            for r in tumor:
+                t_bqsr.apply(r)
+        if n_bqsr:
+            for r in normal:
+                n_bqsr.apply(r)
+        for cid, cname in enumerate(ref.names):
+            codes = ref.contig_codes(cid)
+            t = [r for r in tumor if r["rid"] == cid]
+            nr = [r for r in normal if r["rid"] == cid]
+            if not t:
+                continue
+            t = downsample_reads(t, cfg.max_reads_per_alignment_start)
+            nr = downsample_reads(nr, cfg.max_reads_per_alignment_start,
+                                  seed=1)
+            # per-read hairpin-artifact clip (ReadCache.cpp:27,115)
+            for r in t + nr:
+                palindrome_artifact_clip(r, codes)
+            eng = Mutect2Engine(codes, cname, cfg=cfg,
+                                cnn_model_path=args.deep_model)
+            all_calls.extend(eng.call(t, nr))
+            callable_sites += eng.callable_sites
     # FilterMutectCalls 2-pass (reference main.cpp:643-662)
     from .call.engine import apply_filter_mutect_calls
     apply_filter_mutect_calls(all_calls,

@@ -112,3 +112,54 @@ def decompress(data: bytes) -> bytes:
         out.append(zlib.decompress(comp, -15))
         off += bsize
     return b"".join(out)
+
+
+def inflate_block_at(f, coff: int):
+    """Inflate the single BGZF block starting at compressed offset coff
+    of open binary file f. Returns (payload bytes, compressed size)."""
+    f.seek(coff)
+    hdr = f.read(18)
+    if len(hdr) < 18 or hdr[:2] != b"\x1f\x8b":
+        return b"", 0
+    xlen = struct.unpack_from("<H", hdr, 10)[0]
+    extra = hdr[12:] + f.read(max(xlen - 6, 0))
+    bsize = None
+    xoff = 0
+    while xoff + 4 <= len(extra):
+        si1, si2, slen = extra[xoff], extra[xoff + 1], \
+            struct.unpack_from("<H", extra, xoff + 2)[0]
+        if si1 == 66 and si2 == 67:
+            bsize = struct.unpack_from("<H", extra, xoff + 4)[0] + 1
+        xoff += 4 + slen
+    if bsize is None:
+        raise ValueError("missing BC subfield")
+    comp = f.read(bsize - 12 - xlen - 8)
+    f.read(8)
+    return zlib.decompress(comp, -15), bsize
+
+
+def read_virtual_range(f, v_beg: int, v_end: int) -> bytes:
+    """Uncompressed bytes between two BGZF virtual offsets
+    (coffset << 16 | uoffset). v_end's block is inflated fully when
+    uoffset lands inside it (records may spill past; caller bounds by
+    record framing)."""
+    coff = v_beg >> 16
+    u0 = v_beg & 0xFFFF
+    cend = v_end >> 16
+    uend = v_end & 0xFFFF
+    out = []
+    first = True
+    while True:
+        payload, bsize = inflate_block_at(f, coff)
+        if bsize == 0:
+            break
+        lo = u0 if first else 0
+        if coff == cend:
+            out.append(payload[lo:uend])
+            break
+        out.append(payload[lo:])
+        first = False
+        coff += bsize
+        if coff > cend:
+            break
+    return b"".join(out)
