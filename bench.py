@@ -1,22 +1,63 @@
-"""Driver benchmark: alignment throughput of the device pipeline.
+"""Driver benchmark: end-to-end FASTQ -> sorted/markdup BAM throughput.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline context: the reference publishes no numbers (BASELINE.md); the
-north-star target is >=2x reads/s/chip vs a 64-core CPU node running
-bwa-mem2 (~30k reads/s for 151bp WGS on such a node per the IPDPS'19
-paper's scaling; see BASELINE.md) => target ~60k reads/s/chip.
-vs_baseline reports value / 60000.
+Headline metric (matches driver BASELINE.json): reads/s/chip over
+align + finalize + sort + markdup — the full `fgdp pipeline` path
+(device align, pooled host finalize, streaming device sortdup, BGZF+BAI
+out), not the device align step alone.
+
+vs_baseline: measured bwa-mem2-lcp (the reference aligner, built
+-march=native) on this host's 4 cores, linearly extrapolated to the
+64-core node of the target ("≥2x a 64-core node"): see BASELINE.md
+"Measured baseline" for the run log. vs_baseline = value /
+(2 * 16 * measured_4core_reads_per_s).
+
+Secondary metrics on stderr: device-align-only reads/s, PairHMM GCUPS.
 """
 
 import functools
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-TARGET_READS_PER_S = 60_000.0
+# Measured on this host (4 cores, -march=native, see BASELINE.md):
+# bwa-mem2-lcp mem -t 4, 100k x 151bp reads on 2Mb ref.
+CPU_4CORE_READS_PER_S = None  # filled from BASELINE.md table at runtime
+CPU_4CORE_FALLBACK = 4000.0   # conservative placeholder if parse fails
+
+
+def _measured_baseline():
+    """Parse the measured 4-core reads/s out of BASELINE.md."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BASELINE.md")) as f:
+            for ln in f:
+                if ln.startswith("MEASURED_4CORE_READS_PER_S"):
+                    return float(ln.split("=")[1].strip())
+    except Exception:
+        pass
+    return CPU_4CORE_FALLBACK
+
+
+def _sim_fastq(path, pref_codes, n_reads, L, rng):
+    from fgdp_tpu.utils import dna
+
+    n_ref = len(pref_codes)
+    pos = rng.integers(0, n_ref - L, n_reads)
+    with open(path, "w") as f:
+        for i, p in enumerate(pos):
+            c = pref_codes[p:p + L].copy()
+            m = rng.random(L) < 0.01
+            c[m] = rng.integers(0, 4, int(m.sum()))
+            if rng.random() < 0.5:
+                c = 3 - c[::-1]
+            f.write(f"@r{i}\n{dna.decode(c.astype(np.uint8))}\n+\n"
+                    f"{'I' * L}\n")
 
 
 def main():
@@ -27,12 +68,15 @@ def main():
     from fgdp_tpu.index.fmindex import FMIndex
     from fgdp_tpu.index.reference import DeviceReference, PackedReference
     from fgdp_tpu.ops.fm import DeviceFMIndex
-    from fgdp_tpu.pipeline import device_align
+    from fgdp_tpu.pipeline import Aligner, device_align
 
     rng = np.random.default_rng(0)
-    n_ref = 2_000_000        # E. coli scale / 2
+    # smoke mode (CPU CI): FGDP_BENCH_SMOKE=1 shrinks every dimension so
+    # the whole bench runs in seconds; numbers are then meaningless.
+    smoke = os.environ.get("FGDP_BENCH_SMOKE") == "1"
+    n_ref = 40_000 if smoke else 2_000_000   # E. coli/2, = CPU baseline run
     L = 151
-    B = 1024
+    B = 128 if smoke else 1024
     print("building index...", file=sys.stderr)
     pref = PackedReference.from_contigs(
         ["chr1"], [rng.integers(0, 4, n_ref).astype(np.uint8)])
@@ -42,20 +86,11 @@ def main():
     shapes = BatchShapes(read_len=L, batch_reads=B)
     opt = AlignConfig()
 
-    # simulated reads with 1% substitutions
-    pos = rng.integers(0, n_ref - L, B)
-    codes = np.stack([pref.codes[p:p + L] for p in pos]).astype(np.int32)
-    m = rng.random(codes.shape) < 0.01
-    codes = np.where(m, rng.integers(0, 4, codes.shape), codes)
-    rev = rng.random(B) < 0.5
-    codes[rev] = 3 - codes[rev][:, ::-1]
-    lens = np.full(B, L, np.int32)
-
+    # ---- secondary: device align step only (round-1 metric) ----
     # NOTE: the axon relay caches identical (executable, inputs) runs, so
     # every timed iteration must use distinct inputs. Dispatches are
     # pipelined (async) and synced once at the end — matching a streaming
-    # aligner, which always has the next chunk in flight; this hides the
-    # fixed per-dispatch relay round-trip.
+    # aligner, which always has the next chunk in flight.
     fn = jax.jit(functools.partial(device_align, opt=opt, shapes=shapes))
     n_iter = 8
     batches = []
@@ -65,39 +100,73 @@ def main():
         m = rng.random(c.shape) < 0.01
         c = np.where(m, rng.integers(0, 4, c.shape), c)
         batches.append(jnp.asarray(c))
-    lens_d = jnp.asarray(lens)
+    lens_d = jnp.asarray(np.full(B, L, np.int32))
     act = jnp.ones(B, bool)
-    print("compiling...", file=sys.stderr)
+    print("compiling device align...", file=sys.stderr)
     out = fn(dfm, dref, batches[0], lens_d, act)
     _ = np.asarray(out.score[:1, :1])
-
     t0 = time.perf_counter()
     outs = [fn(dfm, dref, batches[it + 1], lens_d, act)
             for it in range(n_iter)]
     for o in outs:
         _ = np.asarray(o.score[:1, :1])
     dt = (time.perf_counter() - t0) / n_iter
-    reads_per_s = B / dt
-    print(f"align: {reads_per_s:.0f} reads/s/chip", file=sys.stderr)
+    print(f"device align: {B / dt:.0f} reads/s/chip", file=sys.stderr)
+
+    # ---- headline: e2e FASTQ -> sorted/markdup BAM ----
+    from fgdp_tpu.cli import _read_batches
+    from fgdp_tpu.pipeline_stream import FinalizePool, stream_fastq_to_bam
+
+    e2e_n = (4 if smoke else 16) * B
+    tmpd = tempfile.mkdtemp(prefix="fgdp_bench_")
+    fq = os.path.join(tmpd, "reads.fq")
+    _sim_fastq(fq, pref.codes, e2e_n, L, rng)
+    pref_path = os.path.join(tmpd, "bench.ref")
+    pref.save(pref_path)
+
+    aligner = Aligner(pref, fm, opt=opt, shapes=shapes)
+    # warm the jit caches outside the timed region (compile-once cost)
+    warm = [next(_read_batches([fq], B))]
+    _ = aligner._device_regs(warm[0][1])
+
+    workers = max((os.cpu_count() or 4) - 1, 1)
+    pool = FinalizePool(pref_path, opt, workers)
+    out_bam = os.path.join(tmpd, "out.bam")
+    try:
+        t0 = time.perf_counter()
+        n, (nrec, ndup) = stream_fastq_to_bam(
+            aligner, _read_batches([fq], B), out_bam, paired=False,
+            pool=pool, depth=3)
+        dt_e2e = time.perf_counter() - t0
+    finally:
+        pool.shutdown()
+    assert n == e2e_n and nrec == e2e_n, (n, nrec)
+    e2e_rps = e2e_n / dt_e2e
+    print(f"e2e align+sort+markdup: {e2e_rps:.0f} reads/s/chip "
+          f"({e2e_n} reads, {dt_e2e:.1f}s, {workers} finalize workers, "
+          f"{ndup} dups)", file=sys.stderr)
 
     # ---- PairHMM GCUPS (secondary metric, stderr) ----
     try:
-        gcups = bench_pairhmm()
+        gcups = bench_pairhmm(NP=128, R=32, H=64) if smoke \
+            else bench_pairhmm()
         print(f"pairhmm: {gcups:.1f} GCUPS/chip (f32)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - report, don't fail the bench
         print(f"pairhmm bench failed: {e}", file=sys.stderr)
 
+    base4 = _measured_baseline()
+    target = 2.0 * 16.0 * base4      # 2x a 64-core node, linear scaling
     print(json.dumps({
-        "metric": "align_reads_per_s_chip",
-        "value": round(reads_per_s, 1),
+        "metric": "e2e_reads_per_s_chip",
+        "value": round(e2e_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / TARGET_READS_PER_S, 4),
+        "vs_baseline": round(e2e_rps / target, 4),
     }))
 
 
 def bench_pairhmm(NP=2048, R=151, H=384):
-    """Two chain lengths (K=4, K=20) of serially-dependent kernel calls
-    inside one jit; per-call time = (t20 - t4) / 16. This subtracts the
+    """Two chain lengths (K=4, K=36) of serially-dependent kernel calls
+    inside one jit; per-call time = (t36 - t4) / 32. This subtracts the
     relay round-trip + input-transfer fixed cost and defeats the relay's
     identical-run result cache (distinct inputs per timed run)."""
     import jax

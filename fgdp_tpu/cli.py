@@ -315,10 +315,20 @@ def cmd_pipeline(args):
         print(f"[pipeline] {n} reads aligned, {n/dt:.0f} reads/s",
               file=sys.stderr)
 
-    n, (nrec, ndup) = stream_fastq_to_bam(
-        aligner, _timed_batches(args.reads, args.batch), args.output,
-        paired=len(args.reads) == 2, compress_level=args.compress_level,
-        progress=progress)
+    pool = None
+    if args.finalize_workers > 0:
+        from .pipeline_stream import FinalizePool
+        pool = FinalizePool(args.prefix + ".ref", aligner.opt,
+                            args.finalize_workers)
+    try:
+        n, (nrec, ndup) = stream_fastq_to_bam(
+            aligner, _timed_batches(args.reads, args.batch), args.output,
+            paired=len(args.reads) == 2,
+            compress_level=args.compress_level,
+            progress=progress, pool=pool)
+    finally:
+        if pool is not None:
+            pool.shutdown()
     print(f"[pipeline] {nrec} records, {ndup} duplicate pairs -> "
           f"{args.output}(.bai)", file=sys.stderr)
     if args.vcf:
@@ -411,6 +421,9 @@ def main(argv=None):
     pp.add_argument("-O", "--output", required=True, help="output BAM")
     pp.add_argument("-b", "--batch", type=int, default=512)
     pp.add_argument("-l", "--compress-level", type=int, default=6)
+    pp.add_argument("-t", "--finalize-workers", type=int, default=0,
+                    help="SAM-finalize worker processes (worker_sam "
+                         "kt_for team analogue; 0 = in-process)")
     pp.add_argument("--vcf", help="also call variants to this VCF")
     pp.add_argument("-R", "--reference", help="FASTA (required with --vcf)")
     pp.add_argument("-N", "--normal", help="normal BAM (with --vcf)")

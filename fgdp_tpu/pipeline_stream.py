@@ -247,21 +247,42 @@ class StreamingSortMarkdup:
 
 def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
                         compress_level: int = 6, depth: int = 2,
-                        progress=None):
+                        progress=None, pool=None):
     """Aligner stage piped straight into the streaming sormadup — the
-    inter-program pipe of the reference, without materialized SAM."""
+    inter-program pipe of the reference, without materialized SAM.
+
+    With `pool` (a FinalizePool), host SAM finalization fans out to
+    worker processes while the device aligns ahead — the full
+    three-program overlap (align / finalize / sort+markdup) in one
+    process tree."""
+    import collections
+
     sd = StreamingSortMarkdup(list(aligner.sam_header()), out_bam_path,
                               compress_level)
     n = 0
-    for names, seqs, quals in Prefetcher(batch_iter, depth):
-        if paired:
-            lines = aligner.align_pairs(names, seqs, quals, id0=n)
-        else:
-            lines = aligner.align_batch(names, seqs, quals, id0=n)
-        sd.feed(lines)
-        n += len(names)
-        if progress is not None:
-            progress(n)
+    if pool is None:
+        for names, seqs, quals in Prefetcher(batch_iter, depth):
+            if paired:
+                lines = aligner.align_pairs(names, seqs, quals, id0=n)
+            else:
+                lines = aligner.align_batch(names, seqs, quals, id0=n)
+            sd.feed(lines)
+            n += len(names)
+            if progress is not None:
+                progress(n)
+    else:
+        pending = collections.deque()
+        for names, seqs, quals in Prefetcher(batch_iter, depth):
+            regs_np = aligner._device_regs(seqs)
+            pending.append(pool.submit(names, seqs, quals, regs_np, n,
+                                       paired))
+            n += len(names)
+            while len(pending) > depth:
+                sd.feed(pending.popleft().result())
+            if progress is not None:
+                progress(n)
+        while pending:
+            sd.feed(pending.popleft().result())
     return n, sd.finish()
 
 

@@ -74,6 +74,23 @@ def test_cli_full_pipeline(tiny_world):
     assert strip(vcf2.read_text()) == strip(vcf.read_text())
 
 
+def test_pipeline_pooled_identical(tiny_world):
+    """pipeline -t N (pooled finalize + streaming sortdup) must produce
+    the identical BAM to the in-process pipeline."""
+    tmp, fa, r1p, r2p, ref_codes = tiny_world
+    import os
+    prefix = str(tmp / "idx")
+    if not os.path.exists(prefix + ".ref.npz"):
+        cli.main(["index", str(fa), prefix])
+    a = tmp / "pl_a.bam"
+    b = tmp / "pl_b.bam"
+    cli.main(["pipeline", prefix, str(r1p), str(r2p), "-O", str(a),
+              "-b", "96"])
+    cli.main(["pipeline", prefix, str(r1p), str(r2p), "-O", str(b),
+              "-b", "96", "-t", "2"])
+    assert a.read_bytes() == b.read_bytes()
+
+
 def test_mem_opt_flags_and_profiles():
     """mem_opt_t CLI surface: explicit flags override -x profiles
     (fastmap.cpp:656-860 opt0 semantics)."""
