@@ -23,6 +23,11 @@ import sys
 import tempfile
 import time
 
+# persistent compile cache: steady-state throughput is the metric;
+# must be set before the first jax import
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 # Measured on this host (4 cores, -march=native, see BASELINE.md):
@@ -119,20 +124,28 @@ def main():
 
     e2e_n = (4 if smoke else 16) * B
     tmpd = tempfile.mkdtemp(prefix="fgdp_bench_")
+    fq_warm = os.path.join(tmpd, "warm.fq")
     fq = os.path.join(tmpd, "reads.fq")
+    # distinct inputs for warmup vs timed run: identical shapes share
+    # every compile, distinct contents defeat the relay's
+    # identical-(executable, inputs) result cache
+    _sim_fastq(fq_warm, pref.codes, e2e_n, L, rng)
     _sim_fastq(fq, pref.codes, e2e_n, L, rng)
     pref_path = os.path.join(tmpd, "bench.ref")
     pref.save(pref_path)
 
     aligner = Aligner(pref, fm, opt=opt, shapes=shapes)
-    # warm the jit caches outside the timed region (compile-once cost)
-    warm = [next(_read_batches([fq], B))]
-    _ = aligner._device_regs(warm[0][1])
-
     workers = max((os.cpu_count() or 4) - 1, 1)
     pool = FinalizePool(pref_path, opt, workers)
     out_bam = os.path.join(tmpd, "out.bam")
     try:
+        # full warmup pass: compiles align, finalize workers' caches,
+        # and the sortdup kernels at the same pow2 shapes as the timed
+        # run (steady-state throughput is the production metric; compile
+        # is a one-time cost amortized over whole flowcells)
+        print("e2e warmup pass...", file=sys.stderr)
+        stream_fastq_to_bam(aligner, _read_batches([fq_warm], B),
+                            out_bam, paired=False, pool=pool, depth=3)
         t0 = time.perf_counter()
         n, (nrec, ndup) = stream_fastq_to_bam(
             aligner, _read_batches([fq], B), out_bam, paired=False,

@@ -179,48 +179,76 @@ def ksw_align_local(query, target, opt: AlignConfig, min_sc: int):
     return dict(score=best, qb=qb, qe=qe, tb=tb, te=te, score2=score2)
 
 
-def matesw(opt: AlignConfig, pref, pes, anchor, mate_codes, mate_regs):
-    """mem_matesw (bwamem_pair.cpp:150-285): rescue the mate around the
-    anchor alignment; appends found regs to mate_regs (kept score-sorted).
-    Returns number of rescues."""
+_MISSING = object()
+
+
+def _matesw_window(opt: AlignConfig, pref, pes, anchor, mate_codes, r):
+    """The window/orientation setup of mem_matesw for one direction r:
+    returns (seq, ref, rb, is_rev, l_ms) or None when the window is
+    invalid (off-contig / too short). Shared by the scalar path and the
+    batched enumerate+replay so jobs are constructed identically."""
     l_pac = pref.l_pac
     l_ms = len(mate_codes)
+    is_rev = (r >> 1) != (r & 1)
+    is_larger = not (r >> 1)
+    if is_rev:
+        seq = np.array([3 - b if b < 4 else 4
+                        for b in mate_codes[::-1]], np.int64)
+    else:
+        seq = np.asarray(mate_codes, np.int64)
+    if not is_rev:
+        rb = anchor["rb"] + pes[r].low if is_larger \
+            else anchor["rb"] - pes[r].high
+        re = (anchor["rb"] + pes[r].high if is_larger
+              else anchor["rb"] - pes[r].low) + l_ms
+    else:
+        rb = (anchor["rb"] + pes[r].low if is_larger
+              else anchor["rb"] - pes[r].high) - l_ms
+        re = anchor["rb"] + pes[r].high if is_larger \
+            else anchor["rb"] - pes[r].low
+    rb = max(rb, 0)
+    re = min(re, 2 * l_pac)
+    if rb >= re:
+        return None
+    ref, rb, re, rid = pref.fetch_window(rb, (rb + re) >> 1, re)
+    if rid != anchor["rid"] or re - rb < opt.min_seed_len:
+        return None
+    return seq, ref, rb, is_rev, l_ms
+
+
+def _skip_dirs(opt, pes, l_pac, anchor_rb, mate_regs):
+    """Directions already satisfied (mem_matesw skip[] setup)."""
     skip = [p.failed for p in pes]
     for r in mate_regs:
-        d, dist = infer_dir(l_pac, anchor["rb"], r["rb"])
+        d, dist = infer_dir(l_pac, anchor_rb, r["rb"])
         if pes[d].low <= dist <= pes[d].high:
             skip[d] = True
+    return skip
+
+
+def matesw(opt: AlignConfig, pref, pes, anchor, mate_codes, mate_regs,
+           aln_of=None):
+    """mem_matesw (bwamem_pair.cpp:150-285): rescue the mate around the
+    anchor alignment; appends found regs to mate_regs (kept score-sorted).
+    Returns number of rescues. `aln_of(r)` supplies a precomputed
+    ksw_align_local result per direction (the batched replay path,
+    rescue_all); _MISSING falls back to the scalar SW."""
+    l_pac = pref.l_pac
+    l_ms = len(mate_codes)
+    skip = _skip_dirs(opt, pes, l_pac, anchor["rb"], mate_regs)
     if all(skip):
         return 0
     n = 0
     for r in range(4):
         if skip[r]:
             continue
-        is_rev = (r >> 1) != (r & 1)
-        is_larger = not (r >> 1)
-        if is_rev:
-            seq = np.array([3 - b if b < 4 else 4
-                            for b in mate_codes[::-1]], np.int64)
-        else:
-            seq = np.asarray(mate_codes, np.int64)
-        if not is_rev:
-            rb = anchor["rb"] + pes[r].low if is_larger \
-                else anchor["rb"] - pes[r].high
-            re = (anchor["rb"] + pes[r].high if is_larger
-                  else anchor["rb"] - pes[r].low) + l_ms
-        else:
-            rb = (anchor["rb"] + pes[r].low if is_larger
-                  else anchor["rb"] - pes[r].high) - l_ms
-            re = anchor["rb"] + pes[r].high if is_larger \
-                else anchor["rb"] - pes[r].low
-        rb = max(rb, 0)
-        re = min(re, 2 * l_pac)
-        if rb >= re:
+        w = _matesw_window(opt, pref, pes, anchor, mate_codes, r)
+        if w is None:
             continue
-        ref, rb, re, rid = pref.fetch_window(rb, (rb + re) >> 1, re)
-        if rid != anchor["rid"] or re - rb < opt.min_seed_len:
-            continue
-        aln = ksw_align_local(seq, ref, opt, opt.min_seed_len * opt.a)
+        seq, ref, rb, is_rev, l_ms = w
+        aln = aln_of(r) if aln_of is not None else _MISSING
+        if aln is _MISSING:
+            aln = ksw_align_local(seq, ref, opt, opt.min_seed_len * opt.a)
         if aln is None or aln["score"] < opt.min_seed_len * opt.a:
             continue
         b = dict(rid=anchor["rid"], is_alt=anchor["is_alt"],
@@ -244,17 +272,78 @@ def matesw(opt: AlignConfig, pref, pes, anchor, mate_codes, mate_regs):
     return n
 
 
+def rescue_all(opt: AlignConfig, pref, pes, reg_pairs, codes_pairs,
+               batch_fn=None):
+    """Batched mate rescue over a whole PE batch — the kswv inter-task
+    batch (src/kswv.cpp:126, driven from mem_sam_pe bwamem_pair.cpp:414)
+    rebuilt as two device dispatch rounds + exact host replay.
+
+    Round `side` rescues end 1-side around end `side`'s anchors. Within
+    a round, each pair's anchor set is frozen before any rescue (as in
+    mem_sam_pe: `cand` is computed before the anchor loop) and rescues
+    only ADD skip conditions, so enumerating jobs with round-start skips
+    yields a superset of the sequentially-executed jobs; the replay then
+    runs the exact sequential logic consuming precomputed SW results.
+    Round 1 re-enumerates after round 0's insertions (a round-0 rescue
+    can become a round-1 anchor, bwamem_pair.cpp:414-428 order).
+
+    Mutates reg_pairs in place (same postcondition as per-pair matesw
+    calls inside sam_pe)."""
+    from ..ops.kswv import ksw_align_local_batch
+
+    if batch_fn is None:
+        batch_fn = ksw_align_local_batch
+    l_pac = pref.l_pac
+    for side in (0, 1):
+        jobs, meta, cands = [], [], []
+        for p, regs_pair in enumerate(reg_pairs):
+            regs = regs_pair[side]
+            if not regs:
+                continue
+            best = regs[0]["score"]
+            cand = [r for r in regs
+                    if r["score"] >= best - opt.pen_unpaired]
+            cand = cand[:opt.max_matesw]
+            cands.append((p, cand))
+            mate_codes = codes_pairs[p][1 - side]
+            mate_regs = regs_pair[1 - side]
+            for ai, anchor in enumerate(cand):
+                skip0 = _skip_dirs(opt, pes, l_pac, anchor["rb"],
+                                   mate_regs)
+                if all(skip0):
+                    continue
+                for r in range(4):
+                    if skip0[r]:
+                        continue
+                    w = _matesw_window(opt, pref, pes, anchor,
+                                       mate_codes, r)
+                    if w is None:
+                        continue
+                    jobs.append((w[0], w[1]))
+                    meta.append((p, ai, r))
+        alns = batch_fn(jobs, opt)
+        lookup = dict(zip(meta, alns))
+        for p, cand in cands:
+            mate_codes = codes_pairs[p][1 - side]
+            mate_regs = reg_pairs[p][1 - side]
+            for ai, anchor in enumerate(cand):
+                matesw(opt, pref, pes, anchor, mate_codes, mate_regs,
+                       aln_of=lambda r, p=p, ai=ai:
+                       lookup.get((p, ai, r), _MISSING))
+
+
 def raw_mapq(diff, a):
     return int(6.02 * diff / a + 0.499)
 
 
 def sam_pe(opt: AlignConfig, pref, pes, read_id, names, codes_pair,
-           quals_pair, regs_pair):
+           quals_pair, regs_pair, rescue_done=False):
     """mem_sam_pe (bwamem_pair.cpp:354-552): mate rescue, pairing, pair
     MAPQ, SAM for both ends. regs_pair: two score-sorted reg lists (raw,
-    pre mark_primary). Returns (lines0, lines1)."""
+    pre mark_primary). rescue_done skips the per-pair rescue loop when
+    the batch already ran rescue_all. Returns (lines0, lines1)."""
     # mate rescue around near-best hits of the other end
-    if True:   # MEM_F_NO_RESCUE off by default
+    if not rescue_done:   # MEM_F_NO_RESCUE off by default
         for i in (0, 1):
             if not regs_pair[i]:
                 continue

@@ -99,7 +99,12 @@ class Aligner:
                                     quals, regs_np, id0)
         return out
 
-    def _device_regs(self, seq_codes):
+    def _device_regs_async(self, seq_codes):
+        """Dispatch the device align program; returns device arrays
+        WITHOUT synchronizing — callers overlap the next dispatch with
+        the previous batch's host conversion (the kt_pipeline stage
+        overlap; a blocking np.asarray per batch exposes the full
+        dispatch round-trip and serializes device and host)."""
         from .utils.profiling import PROF
 
         B = len(seq_codes)
@@ -117,9 +122,32 @@ class Aligner:
         with PROF.phase(phase):
             regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
                             jnp.asarray(lens), jnp.ones(B, bool))
-            regs = {k: np.asarray(v) for k, v in regs._asdict().items()}
         self._warm = True
         return regs
+
+    @staticmethod
+    def _regs_to_np(regs):
+        return {k: np.asarray(v) for k, v in regs._asdict().items()}
+
+    def _device_regs(self, seq_codes):
+        from .utils.profiling import PROF
+
+        regs = self._device_regs_async(seq_codes)
+        with PROF.phase("MEM_DEVICE"):
+            return self._regs_to_np(regs)
+
+    def finalize_batch(self, names, seq_codes, quals, regs_np, id0,
+                       paired=False):
+        """Host finalize of one batch's device regs -> SAM lines."""
+        from .utils.profiling import PROF, WORKER_SAM
+
+        with PROF.phase(WORKER_SAM):
+            if paired:
+                return finalize_pe_batch(self.pref, self.opt, names,
+                                         seq_codes, quals, regs_np, id0)
+            return finalize_se_batch(self.pref, self.opt, self.shapes,
+                                     names, seq_codes, quals, regs_np,
+                                     id0)
 
     def _reg_lists(self, seq_codes, regs):
         return _reg_lists_np(self.pref, self.opt, seq_codes, regs)
@@ -164,16 +192,20 @@ def finalize_pe_batch(pref, opt, names, seq_codes, quals, regs_np, id0):
     reg_pairs = [(reg_lists[2 * i], reg_lists[2 * i + 1])
                  for i in range(B // 2)]
     pes = pairmod.pestat(opt, pref.l_pac, reg_pairs)
+    codes_pairs = [(np.asarray(seq_codes[2 * i], np.int64),
+                    np.asarray(seq_codes[2 * i + 1], np.int64))
+                   for i in range(B // 2)]
+    # batched mate rescue (kswv analogue) across the whole batch, then
+    # per-pair pairing/SAM with rescue already applied
+    pairmod.rescue_all(opt, pref, pes, reg_pairs, codes_pairs)
     out = []
     for i in range(B // 2):
         q1 = quals[2 * i] if quals else None
         q2 = quals[2 * i + 1] if quals else None
         l0, l1 = pairmod.sam_pe(
             opt, pref, pes, id0 + i,
-            (names[2 * i], names[2 * i + 1]),
-            (np.asarray(seq_codes[2 * i], np.int64),
-             np.asarray(seq_codes[2 * i + 1], np.int64)),
-            (q1, q2), list(reg_pairs[i]))
+            (names[2 * i], names[2 * i + 1]), codes_pairs[i],
+            (q1, q2), list(reg_pairs[i]), rescue_done=True)
         out.extend(l0)
         out.extend(l1)
     return out

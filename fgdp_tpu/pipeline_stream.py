@@ -104,6 +104,31 @@ class LineWriter:
             raise self._err
 
 
+def overlapped_regs(aligner, batch_iter, depth: int = 2):
+    """Generator keeping `depth` device align dispatches in flight ahead
+    of the host-side conversion — the device crunches batch i+1..i+depth
+    while the host finalizes batch i (the reference's kt_pipeline stage
+    overlap; a blocking per-batch sync serializes device and host and
+    exposes the full dispatch round-trip, measured 2.1k vs 7.2k reads/s
+    on the relay-attached TPU).
+
+    Yields (names, seqs, quals, regs_np, id0); id0 counts reads."""
+    import collections
+
+    pending = collections.deque()
+    n = 0
+    for names, seqs, quals in batch_iter:
+        pending.append((names, seqs, quals,
+                        aligner._device_regs_async(seqs), n))
+        n += len(names)
+        if len(pending) > depth:
+            nm, sq, ql, rd, i0 = pending.popleft()
+            yield nm, sq, ql, aligner._regs_to_np(rd), i0
+    while pending:
+        nm, sq, ql, rd, i0 = pending.popleft()
+        yield nm, sq, ql, aligner._regs_to_np(rd), i0
+
+
 def stream_mem(aligner, batch_iter, write_line, paired: bool,
                depth: int = 2, progress=None):
     """3-stage overlapped `mem`: prefetched batches -> align -> writer
@@ -111,13 +136,11 @@ def stream_mem(aligner, batch_iter, write_line, paired: bool,
     n = 0
     writer = LineWriter(write_line, depth=2 * depth)
     try:
-        for names, seqs, quals in Prefetcher(batch_iter, depth):
-            if paired:
-                lines = aligner.align_pairs(names, seqs, quals, id0=n)
-            else:
-                lines = aligner.align_batch(names, seqs, quals, id0=n)
-            writer.put(lines)
-            n += len(names)
+        for nm, sq, ql, regs_np, i0 in overlapped_regs(
+                aligner, Prefetcher(batch_iter, depth), depth):
+            writer.put(aligner.finalize_batch(nm, sq, ql, regs_np, i0,
+                                              paired=paired))
+            n = i0 + len(nm)
             if progress is not None:
                 progress(n)
     finally:
@@ -261,22 +284,19 @@ def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
                               compress_level)
     n = 0
     if pool is None:
-        for names, seqs, quals in Prefetcher(batch_iter, depth):
-            if paired:
-                lines = aligner.align_pairs(names, seqs, quals, id0=n)
-            else:
-                lines = aligner.align_batch(names, seqs, quals, id0=n)
-            sd.feed(lines)
-            n += len(names)
+        for nm, sq, ql, regs_np, i0 in overlapped_regs(
+                aligner, Prefetcher(batch_iter, depth), depth):
+            sd.feed(aligner.finalize_batch(nm, sq, ql, regs_np, i0,
+                                           paired=paired))
+            n = i0 + len(nm)
             if progress is not None:
                 progress(n)
     else:
         pending = collections.deque()
-        for names, seqs, quals in Prefetcher(batch_iter, depth):
-            regs_np = aligner._device_regs(seqs)
-            pending.append(pool.submit(names, seqs, quals, regs_np, n,
-                                       paired))
-            n += len(names)
+        for nm, sq, ql, regs_np, i0 in overlapped_regs(
+                aligner, Prefetcher(batch_iter, depth), depth):
+            pending.append(pool.submit(nm, sq, ql, regs_np, i0, paired))
+            n = i0 + len(nm)
             while len(pending) > depth:
                 sd.feed(pending.popleft().result())
             if progress is not None:
@@ -380,11 +400,10 @@ def stream_mem_pooled(aligner, batch_iter, write_line, pool: FinalizePool,
     pending = collections.deque()
     n = 0
     try:
-        for names, seqs, quals in Prefetcher(batch_iter, depth):
-            regs_np = aligner._device_regs(seqs)
-            pending.append(pool.submit(names, seqs, quals, regs_np, n,
-                                       paired))
-            n += len(names)
+        for nm, sq, ql, regs_np, i0 in overlapped_regs(
+                aligner, Prefetcher(batch_iter, depth), depth):
+            pending.append(pool.submit(nm, sq, ql, regs_np, i0, paired))
+            n = i0 + len(nm)
             while len(pending) > depth:
                 writer.put(pending.popleft().result())
             if progress is not None:

@@ -76,6 +76,54 @@ def test_pe_proper_pairs(aligner):
     assert n_proper >= n - 2
 
 
+def test_rescue_all_matches_sequential(aligner):
+    """Batched rescue (rescue_all: enumerate -> one SW batch -> replay)
+    must leave reg lists identical to the per-pair scalar matesw loop."""
+    import copy
+
+    from fgdp_tpu.align import pair as pairmod
+
+    rng = np.random.default_rng(11)
+    names, reads, truth = _simulate_pairs(rng, aligner.pref, 24)
+    # mutate every 12th base of several ends: max exact run (11) is
+    # below min_seed_len (19) so seeding finds nothing, but local SW
+    # still aligns (score ~56 >> 19) -> rescue fires AND succeeds
+    for k in (1, 4, 9):
+        bad = reads[k].copy()
+        bad[::12] = (bad[::12] + 1) % 4
+        reads[k] = bad
+    regs_np = aligner._device_regs(reads)
+    reg_lists = aligner._reg_lists(reads, regs_np)
+    reg_pairs_a = [(copy.deepcopy(reg_lists[2 * i]),
+                    copy.deepcopy(reg_lists[2 * i + 1]))
+                   for i in range(len(reads) // 2)]
+    reg_pairs_b = copy.deepcopy(reg_pairs_a)
+    codes_pairs = [(reads[2 * i], reads[2 * i + 1])
+                   for i in range(len(reads) // 2)]
+    opt, pref = aligner.opt, aligner.pref
+    pes = pairmod.pestat(opt, pref.l_pac, reg_pairs_a)
+
+    # (a) sequential scalar loop (the sam_pe-internal rescue)
+    n_seq = 0
+    for p, regs_pair in enumerate(reg_pairs_a):
+        for i in (0, 1):
+            if not regs_pair[i]:
+                continue
+            best = regs_pair[i][0]["score"]
+            cand = [r for r in regs_pair[i]
+                    if r["score"] >= best - opt.pen_unpaired]
+            for j, anchor in enumerate(cand):
+                if j >= opt.max_matesw:
+                    break
+                n_seq += pairmod.matesw(opt, pref, pes, anchor,
+                                        codes_pairs[p][1 - i],
+                                        regs_pair[1 - i])
+    # (b) batched
+    pairmod.rescue_all(opt, pref, pes, reg_pairs_b, codes_pairs)
+    assert n_seq > 0          # the corruption must trigger rescues
+    assert reg_pairs_a == reg_pairs_b
+
+
 def test_pe_mate_rescue(aligner):
     """One end heavily corrupted: pairing still places it via rescue."""
     rng = np.random.default_rng(6)
