@@ -88,27 +88,46 @@ class _ReadIndex:
         return [self.reads[lo + int(k)] for k in keep]
 
 
-def _pairhmm_matrix(reads, haps):
-    return _pairhmm_matrix_async(reads, haps)()
+def _pairhmm_matrix(reads, haps, pcr_cache=None):
+    return _pairhmm_matrix_async(reads, haps, pcr_cache)()
 
 
-def _pairhmm_matrix_async(reads, haps):
+def _read_hmm_quals(rd, pcr_cache):
+    """modifyReadQualities chain for one read, memoized on the read dict
+    (PairHMMLikelihoodCalculationEngine.cpp:124-147: mapq cap + low-qual
+    squash + PCR-indel-error-adjusted ins/del quals)."""
+    cached = rd.get("_hmm_quals")
+    if cached is None:
+        from .pcr_model import modify_read_quals
+
+        cached = modify_read_quals(rd["seq_codes"],
+                                   np.asarray(rd["quals"]),
+                                   rd.get("mapq", 60), pcr_cache)
+        rd["_hmm_quals"] = cached
+    return cached
+
+
+def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
     """Dispatch the device PairHMM for a [H, R] log10 matrix; returns a
     collect() thunk so the caller can overlap host work (the next
     region's assembly) with the device pass — the TPU analogue of the
     reference's region/PairHMM work-steal overlap (main.cpp:367-423).
 
-    Identical (bases, quals) reads share one computed column — the
-    reference's read dedup (VectorLoglessPairHMM.cpp:53-114)."""
+    Reads identical after quality modification share one computed
+    column — the reference's read dedup (VectorLoglessPairHMM.cpp:
+    53-114, which also dedups the processed reads)."""
     H = len(haps)
     R = len(reads)
     if H == 0 or R == 0:
         return lambda: np.zeros((H, R))
+    quals3 = [_read_hmm_quals(rd, pcr_cache) for rd in reads]
     keys = {}
     rep = []          # unique read indices
     col_of = np.zeros(R, np.int64)
     for i, rd in enumerate(reads):
-        k = (rd["seq_codes"].tobytes(), np.asarray(rd["quals"]).tobytes())
+        q3 = quals3[i]
+        k = (rd["seq_codes"].tobytes(), q3[0].tobytes(), q3[1].tobytes(),
+             q3[2].tobytes())
         if k in keys:
             col_of[i] = keys[k]
         else:
@@ -116,7 +135,8 @@ def _pairhmm_matrix_async(reads, haps):
             col_of[i] = len(rep)
             rep.append(i)
     if len(rep) < R:
-        inner = _pairhmm_matrix_async([reads[i] for i in rep], haps)
+        inner = _pairhmm_matrix_async([reads[i] for i in rep], haps,
+                                      pcr_cache)
         return lambda: inner()[:, col_of]
     rmax = max(len(r["seq_codes"]) for r in reads)
     hmax = max(len(h) for h in haps)
@@ -131,10 +151,12 @@ def _pairhmm_matrix_async(reads, haps):
     cq = np.full((NP, rmax), DEFAULT_GCP, np.int32)
     p = 0
     for h in haps:
-        for rd in reads:
+        for rd, (mq, miq, mdq) in zip(reads, quals3):
             n = len(rd["seq_codes"])
             r_arr[p, :n] = rd["seq_codes"]
-            q[p, :n] = rd["quals"]
+            q[p, :n] = mq
+            iq[p, :n] = miq
+            dq[p, :n] = mdq
             rlens[p] = n
             h_arr[p, :len(h)] = h
             hlens[p] = len(h)
@@ -239,6 +261,8 @@ class Mutect2Engine:
         if cnn_model_path:
             from .cnn_filter import CnnFilter
             self.cnn = CnnFilter(cnn_model_path)
+        from .pcr_model import pcr_indel_cache
+        self._pcr_cache = pcr_indel_cache(self.cfg.pcr_error_model)
 
 
     def call(self, tumor_reads, normal_reads=()):
@@ -359,8 +383,10 @@ class Mutect2Engine:
 
     def _dispatch_region(self, prep):
         """Device stage: async PairHMM dispatch for both samples."""
-        t_fut = _pairhmm_matrix_async(prep["t_reads"], prep["hap_bases"])
-        n_fut = _pairhmm_matrix_async(prep["n_reads"], prep["hap_bases"]) \
+        t_fut = _pairhmm_matrix_async(prep["t_reads"], prep["hap_bases"],
+                                      self._pcr_cache)
+        n_fut = _pairhmm_matrix_async(prep["n_reads"], prep["hap_bases"],
+                                      self._pcr_cache) \
             if prep["n_reads"] else None
         return t_fut, n_fut
 

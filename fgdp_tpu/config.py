@@ -131,6 +131,10 @@ class CallConfig:
     max_reads_per_alignment_start: int = 50   # downsampling (ReadCache.h:58)
     pcr_error_qual: int = 40
     min_base_quality_score: int = 10
+    # PCRErrorModel enum: 0 NONE / 1 HOSTILE / 2 AGGRESSIVE /
+    # 3 CONSERVATIVE (Mutect2 default,
+    # LikelihoodEngineArgumentCollection.h:30)
+    pcr_error_model: int = 3
 
     # PairHMM numerics (reference Context<float>: IntelPairHmm)
     pairhmm_f32_initial_exp: int = 120   # INITIAL_CONSTANT = 2^120

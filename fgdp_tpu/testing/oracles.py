@@ -609,3 +609,74 @@ def collect_smems_ref(fm, codes, opt):
         k3 = seed_strategy_ref(fm, codes, opt.max_mem_intv,
                                opt.min_seed_len + 1)
     return k1, k2, k3
+
+
+# ---------------------------------------------------------------------------
+# PCR indel error model oracle: scalar transcription of
+# PairHMMLikelihoodCalculationEngine::findTandemRepeatUnits /
+# applyPCRErrorModel (deepmutect .../PairHMMLikelihoodCalculationEngine
+# .cpp:139-254) + GATKVariantContextUtils::findNumberOfRepetitions
+# (.../utils/variant/GATKVariantContextUtils.cpp:59-106).
+# ---------------------------------------------------------------------------
+
+def find_number_of_repetitions_ref(unit, test, leading):
+    ul, tl = len(unit), len(test)
+    if tl == 0:
+        return 0
+    diff = tl - ul
+    n = 0
+    if leading:
+        start = 0
+        while start <= diff and list(test[start:start + ul]) == list(unit):
+            n += 1
+            start += ul
+        return n
+    start = diff
+    while start >= 0 and list(test[start:start + ul]) == list(unit):
+        n += 1
+        start -= ul
+    return n
+
+
+def find_tandem_repeat_units_ref(bases, offset, max_str=8, max_rl=20):
+    L = len(bases)
+    best_bw = [bases[offset]]
+    max_bw = 0
+    for s in range(1, max_str + 1):
+        if offset + 1 - s < 0:
+            break
+        max_bw = find_number_of_repetitions_ref(
+            bases[offset - s + 1:offset + 1], bases[:offset + 1], False)
+        if max_bw > 1:
+            best_bw = list(bases[offset - s + 1:offset + 1])
+            break
+    best = best_bw
+    max_rl_v = max_bw
+    if offset < L - 1:
+        best_fw = [bases[offset + 1]]
+        max_fw = 0
+        for s in range(1, max_str + 1):
+            if offset + s + 1 > L:
+                break
+            max_fw = find_number_of_repetitions_ref(
+                bases[offset + 1:offset + 1 + s], bases[offset + 1:], True)
+            if max_fw > 1:
+                best_fw = list(bases[offset + 1:offset + 1 + s])
+                break
+        if list(best_fw) == list(best_bw):
+            max_rl_v = max_fw + max_bw
+        else:
+            max_bw = find_number_of_repetitions_ref(
+                best_fw, bases[:offset + 1], False)
+            max_rl_v = max_fw + max_bw
+        best = best_fw
+    return min(max_rl_v, max_rl)
+
+
+def apply_pcr_error_model_ref(bases, ins_quals, del_quals, cache):
+    """In-place min() against the repeat-indexed cache
+    (applyPCRErrorModel, .cpp:153-161)."""
+    for i in range(1, len(bases)):
+        rl = find_tandem_repeat_units_ref(bases, i - 1)
+        ins_quals[i - 1] = min(ins_quals[i - 1], cache[rl])
+        del_quals[i - 1] = min(del_quals[i - 1], cache[rl])
