@@ -79,7 +79,9 @@ def main():
     # smoke mode (CPU CI): FGDP_BENCH_SMOKE=1 shrinks every dimension so
     # the whole bench runs in seconds; numbers are then meaningless.
     smoke = os.environ.get("FGDP_BENCH_SMOKE") == "1"
-    n_ref = 40_000 if smoke else 2_000_000   # E. coli/2, = CPU baseline run
+    # 500 kb matches the measured CPU-baseline workload (BASELINE.md:
+    # the largest reference the reference binary reliably processes)
+    n_ref = 40_000 if smoke else 500_000
     L = 151
     B = 128 if smoke else 1024
     print("building index...", file=sys.stderr)

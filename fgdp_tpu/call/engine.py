@@ -55,6 +55,9 @@ class VariantCall:
     normal_ad_alt: int = 0
     repeat_unit_length: int = 0
     repeat_count: int = 0
+    n_count: int = 0               # N bases at site (CountNs annotation)
+    in_pon: bool = False           # site present in --panel-of-normals
+    phasing: tuple | None = None   # (PGT, PID) genotype annotations
 
 
 def _reads_for_span(reads, start, end):
@@ -369,6 +372,52 @@ class Mutect2Engine:
         if not all_events:
             return None
 
+        # AssemblyRegionTrimmer (AssemblyRegionTrimmer.cpp:31-84,
+        # Mutect2Engine.cpp:190-199): shrink the region to the variation
+        # span + padding, trim haplotypes and hard-clip reads to it
+        from . import trimming
+        flat_events = [(e.pos, e.ref, e.alt)
+                       for evs in hap_events for e in evs]
+        tr = trimming.trimmed_span(reg.start, reg.end, flat_events,
+                                   len(self.ref))
+        if tr is None:
+            return None
+        w0 = max(tr[0], span[0])
+        w1 = min(tr[1], span[1])
+        hap_roff = [span[0]] * len(haps)
+        if (w0, w1) != span and w0 < w1:
+            new_ref_seg = self.ref[w0:w1].astype(np.uint8)
+            new_bases, new_cigars, hap_roff = [], [], []
+            for i, h in enumerate(haps):
+                if h.is_ref or hap_cigars[i] is None:
+                    new_bases.append(new_ref_seg)
+                    new_cigars.append(None)
+                    hap_roff.append(w0)
+                    continue
+                out = trimming.clip_to_window(hap_bases[i], None,
+                                              hap_cigars[i], span[0],
+                                              w0, w1)
+                if out is None:        # no aligned hap base in window
+                    new_bases.append(new_ref_seg)
+                    new_cigars.append(None)
+                    hap_roff.append(w0)
+                    continue
+                b2, _, p2, c2 = out
+                new_bases.append(b2)
+                new_cigars.append(c2)
+                hap_roff.append(p2)
+            hap_bases, hap_cigars = new_bases, new_cigars
+            ref_seg = new_ref_seg
+            span = (w0, w1)
+            t_reads = [r2 for r in t_reads
+                       if (r2 := trimming.clip_read_to_window(r, w0, w1))
+                       is not None]
+            n_reads = [r2 for r in n_reads
+                       if (r2 := trimming.clip_read_to_window(r, w0, w1))
+                       is not None]
+            if not t_reads:
+                return None
+
         # CNN gate ("deep" mode): dense regions the classifier deems
         # germline/noise are skipped wholesale (main.cpp:213-221)
         if self.cnn is not None and len(t_reads) > 100:
@@ -379,7 +428,7 @@ class Mutect2Engine:
         return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
                     n_reads=n_reads, haps=haps, hap_bases=hap_bases,
                     hap_events=hap_events, all_events=all_events,
-                    hap_cigars=hap_cigars)
+                    hap_cigars=hap_cigars, hap_roff=hap_roff)
 
     def _dispatch_region(self, prep):
         """Device stage: async PairHMM dispatch for both samples."""
@@ -419,8 +468,8 @@ class Mutect2Engine:
                 continue
             try:
                 new_pos, new_cig = realignmod.realign_read(
-                    rd["seq_codes"], haps[h].bases, hap_cigars[h],
-                    span[0])
+                    rd["seq_codes"], hap_bases[h], hap_cigars[h],
+                    prep["hap_roff"][h])
                 rd2 = dict(rd)
                 rd2["pos"] = new_pos
                 rd2["cigar"] = new_cig
@@ -429,6 +478,7 @@ class Mutect2Engine:
                 ann_reads.append(rd)
 
         calls = []
+        call_hapsets = []
         site_lods = {}
         for (pos, ref_a, alt_a), ev in sorted(all_events.items()):
             has_alt = np.array([any(e.pos == pos and e.ref == ref_a and
@@ -478,10 +528,44 @@ class Mutect2Engine:
                 n_artifact_lod=n_art_lod,
                 normal_ad_ref=n_ad_ref, normal_ad_alt=n_ad_alt,
                 repeat_unit_length=unit_len, repeat_count=rep_count,
+                n_count=_count_ns_at(t_reads, n_reads, pos),
                 **ann))
+            call_hapsets.append(frozenset(np.flatnonzero(has_alt)))
         for c in calls:
             c.site_alt_lods = tuple(site_lods.get(c.pos, ()))
+        _assign_phasing(calls, call_hapsets)
         return calls
+
+
+def _count_ns_at(t_reads, n_reads, pos):
+    """CountNs annotation (N_COUNT_KEY, consumed by NRatioFilter):
+    reads of either sample whose base at the site is N."""
+    n = 0
+    for rd in t_reads + list(n_reads):
+        off = _read_offset_at(rd, pos)
+        if off is not None and int(rd["seq_codes"][off]) == 4:
+            n += 1
+    return n
+
+
+def _assign_phasing(calls, call_hapsets):
+    """Region-local phasing (AssemblyBasedCallerUtils phaseCalls,
+    simplified): calls supported by the identical non-empty haplotype
+    subset are one phase group; the group's PID is the GATK-style
+    '<pos1>_<ref>_<alt>' of its first variant, PGT is 0|1. The
+    complementary-set ('1|0') case of the reference is not detected —
+    same-set groups are what FilteredHaplotypeFilter consumes."""
+    groups = {}
+    for c, hs in zip(calls, call_hapsets):
+        if hs:
+            groups.setdefault(hs, []).append(c)
+    for hs, members in groups.items():
+        if len(members) < 2:
+            continue
+        first = min(members, key=lambda c: c.pos)
+        pid = f"{first.pos + 1}_{first.ref}_{first.alt}"
+        for c in members:
+            c.phasing = ("0|1", pid)
 
 
 def apply_filter_mutect_calls(calls, **overrides):
@@ -499,7 +583,10 @@ def apply_filter_mutect_calls(calls, **overrides):
         n_artifact_lod=c.n_artifact_lod, normal_ad_ref=c.normal_ad_ref,
         normal_ad_alt=c.normal_ad_alt,
         repeat_unit_length=c.repeat_unit_length,
-        repeat_count=c.repeat_count) for c in calls]
+        repeat_count=c.repeat_count,
+        pos=c.pos, n_count=c.n_count, in_pon=c.in_pon,
+        phasing="".join(c.phasing) if c.phasing else None)
+        for c in calls]
     eng = fl.filter_calls(fcs, **overrides)
     for c, fc in zip(calls, fcs):
         c.filters = tuple(fc.filters)
@@ -520,9 +607,15 @@ def write_vcf(path, calls, contig_names, contig_lens,
             info["NLOD"] = f"{c.nlod:.2f}"
         if c.n_artifact_lod is not None:
             info["NALOD"] = f"{c.n_artifact_lod:.2f}"
+        if c.n_count:
+            info["NCount"] = c.n_count
+        if c.in_pon:
+            info["PON"] = True
         sample = {"GT": "0/1", "AD": f"{c.ad_ref},{c.ad_alt}",
                   "AF": f"{c.af:.3f}",
                   "SB": ",".join(str(x) for x in c.sb)}
+        if c.phasing:
+            sample["PGT"], sample["PID"] = c.phasing
         fields = [sample] + ([{"GT": "0/0"}] if normal_sample else [])
         w.add(c.contig, c.pos + 1, c.ref, [c.alt], info, list(c.filters),
               fields)

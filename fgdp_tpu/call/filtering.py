@@ -46,6 +46,7 @@ DEFAULTS = dict(
     max_events_in_region=2,
     max_alt_alleles=1,
     normal_p_value_threshold=0.001,
+    max_intra_haplotype_distance=100,
 )
 
 
@@ -74,6 +75,10 @@ class FilterableCall:
     normal_ad_alt: int = 0
     repeat_unit_length: int = 0   # STR context for slippage
     repeat_count: int = 0
+    pos: int = 0                  # site coordinate (FilteredHaplotype)
+    n_count: int = 0              # N bases at site (CountNs annotation)
+    in_pon: bool = False          # site present in the panel of normals
+    phasing: str | None = None    # PGT+PID string, None = unphased
     # output
     filters: list = dataclasses.field(default_factory=list)
     error_prob: float = 0.0
@@ -338,6 +343,69 @@ class PolymeraseSlippageFilter(Filter):
         return float(probs[0])
 
 
+class NRatioFilter(HardFilter):
+    """NRatioFilter.cpp: N-base pileup count vs alt depth (summed over
+    tumor AND normal samples, sumADsOverSamples(vc, true, true)).
+    Inactive at the default n_ratio = inf, like the reference."""
+    name = "n_ratio"
+
+    def is_artifact(self, c, eng):
+        alt = c.ad_alt + c.normal_ad_alt
+        if alt == 0:
+            return False
+        return c.n_count / alt >= eng.args["n_ratio"]
+
+
+class PanelOfNormalsFilter(HardFilter):
+    """PanelOfNormalsFilter.cpp: site blacklisted by the PoN VCF
+    (IN_PON attribute, set by the --panel-of-normals CLI path)."""
+    name = "panel_of_normals"
+
+    def is_artifact(self, c, eng):
+        return c.in_pon
+
+
+class FilteredHaplotypeFilter(Filter):
+    """FilteredHaplotypeFilter.cpp: a variant phased with an artifact
+    inherits that artifact's probability. Pass 1 accumulates, per
+    phasing string (PGT+PID), (position, max non-sequencing error prob
+    from OTHER filters); pass 2 reads back the max probability among
+    phased neighbours within max_intra_haplotype_distance.
+
+    Deviation from the C++ port: its distance test compares
+    `position - probability` (FilteredHaplotypeFilter.cpp:49, a
+    transcription bug); this implements the GATK semantics
+    |neighbour_pos - call_pos| <= maxIntraHaplotypeDistance."""
+    name = "bad_haplotype"
+    error_type = ARTIFACT
+
+    def __init__(self):
+        self._accum = {}
+        self._phased = {}
+
+    def _calc(self, c, eng):
+        if not c.phasing:
+            return 0.0
+        probs = self._phased.get(c.phasing)
+        if not probs:
+            return 0.0
+        dist = eng.args["max_intra_haplotype_distance"]
+        return max((p for pos, p in probs if abs(pos - c.pos) <= dist),
+                   default=0.0)
+
+    def accumulate(self, c, error_probs, eng):
+        if not c.phasing:
+            return
+        art = max((p for f, p in error_probs.items()
+                   if f.error_type != SEQUENCING and f.name != self.name),
+                  default=0.0)
+        self._accum.setdefault(c.phasing, []).append((c.pos, art))
+
+    def learn_and_clear(self):
+        self._phased = self._accum
+        self._accum = {}
+
+
 class NormalArtifactFilter(Filter):
     """NormalArtifactFilter.cpp."""
     name = "normal_artifact"
@@ -449,6 +517,9 @@ class Mutect2FilteringEngine:
             MultiallelicFilter(),
             FragmentLengthFilter(),
             PolymeraseSlippageFilter(),
+            NRatioFilter(),
+            PanelOfNormalsFilter(),
+            FilteredHaplotypeFilter(),
         ]
 
     def posterior_probability_of_normal_artifact(self, neg_log_odds_ln):

@@ -291,6 +291,13 @@ def cmd_mutect(args):
                                 cnn_model_path=args.deep_model)
             all_calls.extend(eng.call(t, nr))
             callable_sites += eng.callable_sites
+    # --panel-of-normals: blacklist sites seen in the PoN VCF
+    # (PanelOfNormalsFilter via the IN_PON annotation)
+    if getattr(args, "pon", None):
+        from .io.vcf import read_vcf_sites
+        pon = read_vcf_sites(args.pon)
+        for c in all_calls:
+            c.in_pon = (c.contig, c.pos + 1, c.ref, c.alt) in pon
     # FilterMutectCalls 2-pass (reference main.cpp:643-662)
     from .call.engine import apply_filter_mutect_calls
     apply_filter_mutect_calls(all_calls,
@@ -399,6 +406,9 @@ def main(argv=None):
     pc.add_argument("-N", "--normal")
     pc.add_argument("-O", "--output", required=True)
     pc.add_argument("--deep-model", help="TorchScript CNN gate (trans.pt)")
+    pc.add_argument("--panel-of-normals", dest="pon",
+                    help="PoN VCF; matching sites get the "
+                         "panel_of_normals filter")
     pc.add_argument("--bqsr-tumor", help="GATK recal table for tumor reads")
     pc.add_argument("--bqsr-normal", help="GATK recal table for normal reads")
     # M2ArgumentCollection long options (reference main.cpp:449-531)

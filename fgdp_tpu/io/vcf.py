@@ -39,8 +39,10 @@ class VcfWriter:
 
     def add(self, contig, pos1, ref, alts, info: dict, filters,
             sample_fields):
-        """pos1: 1-based. sample_fields: list of dicts per sample."""
-        inf = ";".join(f"{k}={v}" for k, v in info.items()) or "."
+        """pos1: 1-based. sample_fields: list of dicts per sample.
+        An info value of True renders as a bare flag key (e.g. PON)."""
+        inf = ";".join(k if v is True else f"{k}={v}"
+                       for k, v in info.items()) or "."
         filt = ";".join(filters) if filters else "PASS"
         keys = sorted({k for sf in sample_fields for k in sf},
                       key=lambda k: (k != "GT", k))
@@ -53,3 +55,25 @@ class VcfWriter:
 
     def close(self):
         self.f.close()
+
+
+def read_vcf_sites(path):
+    """Site set {(contig, pos1, ref, alt)} from a VCF (plain or
+    bgzip/gzip) — the panel-of-normals lookup (reference consumes the
+    PoN through its IN_PON site annotation, filtering/
+    PanelOfNormalsFilter.cpp). Multi-allelic records contribute one
+    entry per alt."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    sites = set()
+    with opener(path, "rt") as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            p = ln.rstrip("\n").split("\t")
+            if len(p) < 5:
+                continue
+            for alt in p[4].split(","):
+                sites.add((p[0], int(p[1]), p[3], alt))
+    return sites

@@ -126,3 +126,54 @@ def test_engine_filter_integration():
     apply_filter_mutect_calls(calls)
     assert all(not c.filters for c in calls[:10])
     assert "weak_evidence" in calls[-1].filters
+
+
+def test_n_ratio_filter():
+    # alt depth 10, 8 Ns -> ratio 0.8 >= 0.5 threshold
+    calls = [_call(tlod=25.0, nlod=8.0) for _ in range(20)]
+    bad = _call(tlod=25.0, nlod=8.0, n_count=8)
+    ok = _call(tlod=25.0, nlod=8.0, n_count=2)
+    calls += [bad, ok]
+    fl.filter_calls(calls, n_ratio=0.5)
+    assert "n_ratio" in bad.filters
+    assert "n_ratio" not in ok.filters
+    # default n_ratio = inf: never fires
+    bad2 = _call(tlod=25.0, nlod=8.0, n_count=1000)
+    fl.filter_calls(calls + [bad2])
+    assert "n_ratio" not in bad2.filters
+    # zero alt depth: no division, no filter
+    z = _call(tlod=25.0, nlod=8.0, ad_alt=0, n_count=5)
+    fl.filter_calls(calls + [z], n_ratio=0.5)
+    assert "n_ratio" not in z.filters
+
+
+def test_panel_of_normals_filter():
+    calls = [_call(tlod=25.0, nlod=8.0) for _ in range(20)]
+    bad = _call(tlod=25.0, nlod=8.0, in_pon=True)
+    calls.append(bad)
+    fl.filter_calls(calls)
+    assert "panel_of_normals" in bad.filters
+    assert all("panel_of_normals" not in c.filters for c in calls[:20])
+
+
+def test_filtered_haplotype_filter():
+    """A clean call phased with an artifact call (within the distance
+    bound) inherits its artifact probability; an equally clean call on
+    a different phase group does not."""
+    calls = [_call(tlod=25.0, nlod=8.0, pos=10_000 + 7 * i)
+             for i in range(20)]
+    # artifact: heavy strand bias, phased group "A" at pos 500
+    art = _call(tlod=25.0, nlod=8.0, ad_ref=100, ad_alt=30,
+                sb=(50, 50, 30, 0), pos=500, phasing="0|1501_A_T")
+    # phased partner 40bp away: clean annotations
+    partner = _call(tlod=25.0, nlod=8.0, pos=540, phasing="0|1501_A_T")
+    # same phase group but 5kb away: outside max_intra_haplotype_distance
+    far = _call(tlod=25.0, nlod=8.0, pos=5500, phasing="0|1501_A_T")
+    # clean call on another phase group
+    other = _call(tlod=25.0, nlod=8.0, pos=560, phasing="0|1561_G_C")
+    calls += [art, partner, far, other]
+    fl.filter_calls(calls)
+    assert "strand_bias" in art.filters
+    assert "bad_haplotype" in partner.filters, partner.filters
+    assert "bad_haplotype" not in far.filters
+    assert "bad_haplotype" not in other.filters
