@@ -10,8 +10,9 @@ Transcribes the reference's post-extension path:
   * mem_reg2sam / mem_aln2sam             (src/bwamem.cpp:1983-2193)
 
 These are heavy-logic, light-FLOP steps on O(#alignments) records — host
-NumPy territory; the global-alignment DP rows are vectorized, traceback is
-scalar per read. XA-tag generation (mem_gen_alt) is not yet implemented.
+NumPy territory; the global-alignment DP runs in the native batch library
+(fgdp_native ksw_global2) with a NumPy fallback. XA-tag generation
+(mem_gen_alt, src/bwamem_extra.cpp:840) is implemented in gen_xa().
 """
 
 from __future__ import annotations
