@@ -34,7 +34,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
 def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
                   opt: AlignConfig, max_seeds: int, prev_cap: int = 20,
                   k2_per_read: int = 2, lane_emit_cap: int = 16,
-                  use_sweep: bool = True) -> SeedBatch:
+                  use_sweep: bool = True, scale: int = 1) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -45,6 +45,13 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     """
     B, L = codes.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    # `scale` widens every internal lane/entry cap (the overflow
+    # escalation ladder, pipeline.Aligner._retry_overflow): prev-array
+    # depth, forward entry slots, and the batch-shared backward lane
+    # pool all grow together, since any of them can starve a read on
+    # repetitive references
+    prev_cap = prev_cap * scale
+    k2_per_read = k2_per_read * scale
 
     # --- K1. Default: the self-restarting sweep + independent backward
     # entry lanes (ops/smem_sweep.py) — near-full lane occupancy, ~2
@@ -56,7 +63,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         seeds = sweepops.smem_all_pos_sweep(
             dfm, dref.codes16, codes, lens, jnp.ones(B, jnp.int32),
             active, opt.min_seed_len, max_seeds, prev_cap,
-            entry_cap=min(2 * L + 16, 192), bwd_mult=44)
+            entry_cap=min(2 * L + 16, 192 * scale),
+            bwd_mult=44 * scale)
     else:
         seeds = smemops.smem_all_pos(
             dfm, dref.codes, dref.l_pac, codes, lens,
@@ -90,7 +98,7 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         seeds = sweepops.smem_lanes_sweep(
             dfm, dref.codes16, codes, lens, k_read, job_x, job_mi, k_on,
             opt.min_seed_len, prev_cap, B, max_seeds, into=seeds,
-            entry_cap=prev_cap + 2, bwd_mult=8)
+            entry_cap=prev_cap + 2, bwd_mult=8 * scale)
     else:
         k2lanes, _ = smemops.smem_one_pos_lanes(
             dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x,

@@ -97,6 +97,10 @@ class BatchShapes:
 
     read_len: int = 151          # max read length (macro.h READ_LEN)
     batch_reads: int = 512       # reads per device batch
+    seed_scale: int = 1          # widens seeding-internal lane/entry
+    # caps (prev_cap, entry slots, shared backward lane pool) — the
+    # overflow-escalation ladder multiplies this along with the buffer
+    # bounds below (Aligner._retry_overflow)
     max_smems: int = 160         # SMEM buffer slots per read
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read

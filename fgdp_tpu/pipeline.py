@@ -29,13 +29,15 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                  active, opt: AlignConfig, shapes: BatchShapes):
     """codes int32[B, L] -> AlnRegBatch (jit-able)."""
     seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
-                          max_seeds=shapes.max_smems, prev_cap=20)
+                          max_seeds=shapes.max_smems, prev_cap=20,
+                          scale=shapes.seed_scale)
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,
                               max_chains=shapes.max_chains)
     regs = extendmod.extend_chains(cb, codes, lens, dref, opt,
                                    max_regs=shapes.max_regs,
-                                   t_max=shapes.max_ext_ref)
+                                   t_max=shapes.max_ext_ref,
+                                   jobs_per_read=6 * shapes.seed_scale)
     return regs
 
 
@@ -53,9 +55,10 @@ class Aligner:
         # host-only output options don't shape the device program; pin
         # them to defaults in the jit key so e.g. -a reuses the cache
         import dataclasses as _dc
-        dev_opt = _dc.replace(self.opt, output_all=False)
+        self._dev_opt = _dc.replace(self.opt, output_all=False)
         self._fn = jax.jit(functools.partial(
-            device_align, opt=dev_opt, shapes=self.shapes))
+            device_align, opt=self._dev_opt, shapes=self.shapes))
+        self._esc_fns = {}        # escalation level -> jitted program
         self._warm = False
 
     @classmethod
@@ -125,16 +128,82 @@ class Aligner:
         self._warm = True
         return regs
 
-    @staticmethod
-    def _regs_to_np(regs):
-        return {k: np.asarray(v) for k, v in regs._asdict().items()}
+    ESCALATE_LEVELS = 2
+
+    def _regs_to_np(self, regs, seq_codes=None):
+        out = {k: np.asarray(v) for k, v in regs._asdict().items()}
+        if seq_codes is not None:
+            out = self._retry_overflow(out, seq_codes)
+        return out
+
+    def _escalated_shapes(self, level: int):
+        import dataclasses as _dc
+        f = 2 ** level
+        s = self.shapes
+        return _dc.replace(s, max_smems=s.max_smems * f,
+                           max_seeds=s.max_seeds * f,
+                           max_chains=s.max_chains * f,
+                           max_regs=s.max_regs * f,
+                           seed_scale=s.seed_scale * f)
+
+    def _retry_overflow(self, regs_np, seq_codes):
+        """Re-run overflowed reads through progressively wider device
+        buckets (the host-driver fallback promised by BatchShapes: the
+        reference reallocs per-read seed/chain arrays at will,
+        FMI_search.cpp / bwamem.cpp; under static TPU shapes a read that
+        exceeds max_smems/max_seeds/max_chains/max_regs sets its
+        overflow flag and is retried at 2x, 4x, ... shapes)."""
+        ovf = regs_np.get("overflow")
+        if ovf is None or not np.any(ovf):
+            return regs_np
+        # np views of jax arrays are read-only; copy before merging
+        regs_np = {k: np.array(v) for k, v in regs_np.items()}
+        idx = np.flatnonzero(np.asarray(ovf))
+        B = len(ovf)
+        L = self.shapes.read_len
+        for level in range(1, self.ESCALATE_LEVELS + 1):
+            fn = self._esc_fns.get(level)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    device_align, opt=self._dev_opt,
+                    shapes=self._escalated_shapes(level)))
+                self._esc_fns[level] = fn
+            codes = np.full((B, L), 4, np.int32)
+            lens = np.zeros(B, np.int32)
+            active = np.zeros(B, bool)
+            for j, b in enumerate(idx):
+                s = seq_codes[b]
+                n = min(len(s), L)
+                codes[j, :n] = np.asarray(s[:n], np.int32)
+                lens[j] = n
+                active[j] = True
+            sub = fn(self.dfm, self.dref, jnp.asarray(codes),
+                     jnp.asarray(lens), jnp.asarray(active))
+            sub_np = {k: np.asarray(v) for k, v in sub._asdict().items()}
+            E_new = sub_np["valid"].shape[1]
+            E_cur = regs_np["valid"].shape[1]
+            if E_new > E_cur:
+                for k, v in regs_np.items():
+                    if v.ndim == 2:
+                        pad = np.zeros((B, E_new - E_cur), v.dtype)
+                        regs_np[k] = np.concatenate([v, pad], axis=1)
+            for j, b in enumerate(idx):
+                for k, v in regs_np.items():
+                    if v.ndim == 2:
+                        v[b] = sub_np[k][j]
+                regs_np["overflow"][b] = sub_np["overflow"][j]
+            idx = idx[np.asarray([sub_np["overflow"][j]
+                                  for j in range(len(idx))])]
+            if len(idx) == 0:
+                break
+        return regs_np
 
     def _device_regs(self, seq_codes):
         from .utils.profiling import PROF
 
         regs = self._device_regs_async(seq_codes)
         with PROF.phase("MEM_DEVICE"):
-            return self._regs_to_np(regs)
+            return self._regs_to_np(regs, seq_codes)
 
     def finalize_batch(self, names, seq_codes, quals, regs_np, id0,
                        paired=False):

@@ -123,10 +123,10 @@ def overlapped_regs(aligner, batch_iter, depth: int = 2):
         n += len(names)
         if len(pending) > depth:
             nm, sq, ql, rd, i0 = pending.popleft()
-            yield nm, sq, ql, aligner._regs_to_np(rd), i0
+            yield nm, sq, ql, aligner._regs_to_np(rd, sq), i0
     while pending:
         nm, sq, ql, rd, i0 = pending.popleft()
-        yield nm, sq, ql, aligner._regs_to_np(rd), i0
+        yield nm, sq, ql, aligner._regs_to_np(rd, sq), i0
 
 
 def stream_mem(aligner, batch_iter, write_line, paired: bool,

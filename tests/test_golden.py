@@ -90,7 +90,7 @@ def test_golden_single_end(aligner):
     lines = aligner.align_batch(names, seqs, quals)
     with open(os.path.join(HERE, "se.oracle.sam")) as f:
         oracle = f.read().splitlines()
-    _compare(oracle, lines, CORE, 148, 148, len(names))
+    _compare(oracle, lines, CORE, 150, 150, len(names))
 
 
 def test_golden_repetitive_xa():
@@ -102,7 +102,14 @@ def test_golden_repetitive_xa():
     lines = al.align_batch(names, seqs, quals)
     with open(os.path.join(HERE, "rep.oracle.sam")) as f:
         oracle = f.read().splitlines()
-    _compare(oracle, lines, CORE, 78, 76, len(names))
+    # exact on core fields; full-tag parity excepts exactly rep71,
+    # whose XS comes from a WEIGHT-TIED chain pair: the reference's
+    # ks_introsort (ext/TAL/ext/ksort.h) is unstable and its n=3
+    # median-of-3 partition swaps the two w=20 chains, so it extends
+    # the chrR:12016 repeat copy (XS:32) where our stable-by-pos order
+    # extends chrR:8016 (XS:36) — implementation-defined in the
+    # reference, root-caused round 2
+    _compare(oracle, lines, CORE, 80, 79, len(names))
     ref, ours = _index_sam(oracle), _index_sam(lines)
     xa_match = sum(_tags(rf).get("XA") == _tags(ours[k]).get("XA")
                    for k, rf in ref.items())
@@ -118,7 +125,7 @@ def test_golden_paired_end(aligner):
     lines = aligner.align_pairs(names, seqs, quals)
     with open(os.path.join(HERE, "pe.oracle.sam")) as f:
         oracle = f.read().splitlines()
-    _compare(oracle, lines, PAIR_COLS, 196, 194, 2 * len(n1))
+    _compare(oracle, lines, PAIR_COLS, 200, 200, 2 * len(n1))
 
 
 def test_golden_all_alignments():
