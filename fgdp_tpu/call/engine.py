@@ -44,10 +44,14 @@ class VariantCall:
     sb: tuple = (0, 0, 0, 0)      # fwd_ref, rev_ref, fwd_alt, rev_alt
     mbq_ref: int = 30
     mbq_alt: int = 30
+    mmq_ref: int = 60
     mmq_alt: int = 60
     mpos: int = 25
+    mfrl: tuple = (0, 0)          # MFRL (ref, alt) medians
     mfrl_diff: float = 0.0
     ecnt: int = 1
+    tumor_fmt: dict | None = None   # per-sample FORMAT stats
+    normal_fmt: dict | None = None
     site_alt_lods: tuple = ()
     pop_af: float = 1e-6
     n_artifact_lod: float | None = None
@@ -55,6 +59,8 @@ class VariantCall:
     normal_ad_alt: int = 0
     repeat_unit_length: int = 0
     repeat_count: int = 0
+    rpa: tuple | None = None       # (ref_repeats, alt_repeats)
+    repeat_unit: str = ""          # RU
     n_count: int = 0               # N bases at site (CountNs annotation)
     in_pon: bool = False           # site present in --panel-of-normals
     phasing: tuple | None = None   # (PGT, PID) genotype annotations
@@ -193,61 +199,163 @@ def _median(xs, default):
     return int(np.median(xs)) if len(xs) else default
 
 
-def _str_context(ref, pos, max_unit=3):
-    """(unit_length, repeat_count) of the STR at ref[pos] (slippage
-    filter context, PolymeraseSlippageFilter.cpp RPA/RU semantics)."""
-    n = len(ref)
-    best = (0, 0)
-    for u in range(1, max_unit + 1):
-        if pos + u > n:
-            break
-        unit = ref[pos:pos + u]
-        count = 1
-        j = pos + u
-        while j + u <= n and np.array_equal(ref[j:j + u], unit):
-            count += 1
-            j += u
-        j = pos - u
-        while j >= 0 and np.array_equal(ref[j:j + u], unit):
-            count += 1
-            j -= u
-        if count > best[1]:
-            best = (u, count)
-    return best
+def _tandem_repeat_rpa(ref_codes, pos, ref_a, alt_a, window=150):
+    """TandemRepeat annotation (RPA/RU/STR) with the reference binary's
+    exact semantics (GATKVariantContextUtils.cpp:601-664 + TandemRepeat
+    .cpp:15-41). Note: the reference's findRepeatedSubstring compares
+    with memcpy instead of memcmp (.cpp:677), so its repeat unit is
+    ALWAYS the single first base of the longer allele — reproduced here
+    deliberately for oracle concordance. A second reproduced quirk: the
+    binary feeds ReferenceCache::getSubsequenceAt the 1-based
+    vc->getStart() where the cache expects 0-based, so its "reference
+    context after the variant" actually begins TWO bases after the
+    anchor (pos+2, not pos+1). Returns (rpa_ref, rpa_alt, unit_str) or
+    None when either count is zero (no annotation)."""
+    if len(ref_a) == len(alt_a):
+        return None
+    bases = "ACGTN"
+    ref_b = ref_a[1:]
+    alt_b = alt_a[1:]
+    unit = (alt_b if len(alt_b) > len(ref_b) else ref_b)[0]
+    following = "".join(bases[b] for b in
+                        ref_codes[pos + 2:pos + 2 + window +
+                                  len(ref_a) - 1])
+
+    def leading(s):
+        n = 0
+        while n < len(s) and s[n] == unit:
+            n += 1
+        return n
+
+    reps_in_ref = leading(ref_b)
+    c_ref = leading(ref_b + following) - reps_in_ref
+    c_alt = leading(alt_b + following) - reps_in_ref
+    if c_ref == 0 or c_alt == 0:
+        return None
+    return c_ref, c_alt, unit
 
 
-def _allele_annotations(reads, assign, informative, pos):
-    """Per-allele medians + strand counts from the read assignment."""
-    alt_i = [i for i in range(len(reads)) if assign[i] and informative[i]]
-    ref_i = [i for i in range(len(reads)) if not assign[i] and informative[i]]
+def _median_ref(values, default):
+    """MathUtils::median (MathUtils.cpp:185-193): sorted middle; for even
+    sizes the rounded mean of the two middles (round half away)."""
+    if not values:
+        return default
+    v = sorted(values)
+    n = len(v)
+    if n % 2:
+        return int(v[n // 2])
+    return int(np.floor((v[(n - 1) // 2] + v[n // 2]) / 2.0 + 0.5))
 
-    def bq(i):
-        off = _read_offset_at(reads[i], pos)
-        return int(reads[i]["quals"][off]) if off is not None else None
 
-    def rpos(i):
-        off = _read_offset_at(reads[i], pos)
-        if off is None:
-            return None
-        return min(off, len(reads[i]["seq_codes"]) - 1 - off)
+def _read_end(rd):
+    """1-past-last reference position consumed by the alignment."""
+    return rd["pos"] + sum(ln for op, ln in rd["cigar"]
+                           if op in (0, 2, 3, 7, 8))
 
-    mbq_alt = _median([q for q in (bq(i) for i in alt_i) if q is not None],
-                      30)
-    mbq_ref = _median([q for q in (bq(i) for i in ref_i) if q is not None],
-                      30)
-    mmq_alt = _median([reads[i].get("mapq", 60) for i in alt_i], 60)
-    mpos = _median([p for p in (rpos(i) for i in alt_i) if p is not None],
-                   25)
-    frl_alt = _median([abs(reads[i].get("frag_len", 0)) for i in alt_i
-                       if reads[i].get("frag_len")], 0)
-    frl_ref = _median([abs(reads[i].get("frag_len", 0)) for i in ref_i
-                       if reads[i].get("frag_len")], 0)
-    sb = (sum(1 for i in ref_i if not reads[i].get("is_reverse", False)),
-          sum(1 for i in ref_i if reads[i].get("is_reverse", False)),
-          sum(1 for i in alt_i if not reads[i].get("is_reverse", False)),
-          sum(1 for i in alt_i if reads[i].get("is_reverse", False)))
-    return dict(mbq_ref=mbq_ref, mbq_alt=mbq_alt, mmq_alt=mmq_alt,
-                mpos=mpos, mfrl_diff=float(abs(frl_alt - frl_ref)), sb=sb)
+
+ANNOT_MIN_BQ = 20  # OrientationBiasReadCounts.h MINIMUM_BASE_QUALITY
+
+
+def _sample_fmt(reads, m, pos):
+    """Per-sample genotype column (addGenotypes + the genotype annotators
+    DepthPerAlleleBySample / DepthPerSampleHC / OrientationBiasReadCounts /
+    StrandBiasBySample), over the overlap-kept reads of that sample.
+    m: [2, R] natural-log allele likelihoods (row 0 = ref)."""
+    best_alt, informative = genotype.best_alleles(m)
+    ad_ref = int((informative & ~best_alt).sum())
+    ad_alt = int((informative & best_alt).sum())
+    af = genotype.allele_fraction_posterior_mean(m)
+    f1r2 = [0, 0]
+    f2r1 = [0, 0]
+    sb = [0, 0, 0, 0]
+    for i, rd in enumerate(reads):
+        if not informative[i]:
+            continue
+        a = 1 if best_alt[i] else 0
+        rev = bool(rd.get("is_reverse", False))
+        sb[2 * a + (1 if rev else 0)] += 1
+        mq = rd.get("mapq", 60)
+        if mq in (0, 255):
+            continue
+        off = _read_offset_at(rd, pos)
+        bq = int(rd["quals"][off]) if off is not None else 0
+        if bq >= ANNOT_MIN_BQ:
+            # ReadUtils::isF2R1: reverse-strand == first-of-pair
+            is_f2r1 = rev == bool(rd.get("is_first_of_pair", False))
+            (f2r1 if is_f2r1 else f1r2)[a] += 1
+    return dict(ad=(ad_ref, ad_alt), dp=ad_ref + ad_alt, af=af,
+                f1r2=tuple(f1r2), f2r1=tuple(f2r1), sb=tuple(sb))
+
+
+def _annotate_event(pos, ref_a, alt_a, tm, nm, t_reads, n_reads):
+    """The annotator battery for one event (VariantAnnotatorEngine over
+    the read likelihoods marginalized to the variant interval expanded by
+    ALLELE_EXTENSION=2, SomaticGenotypeEngine.cpp:148-165):
+
+      INFO : DP (Coverage), MBQ (BaseQuality), MMQ (MappingQuality),
+             MPOS (ReadPosition), MFRL (FragmentLength) — per-allele
+             medians over informative reads of BOTH samples
+      FORMAT: AD/DP (DepthPerAlleleBySample, DepthPerSampleHC),
+             AF (addGenotypes posterior), F1R2/F2R1
+             (OrientationBiasReadCounts), SB (StrandBiasBySample)
+
+    tm/nm: [2, R] natural-log allele likelihoods per sample (nm None
+    without a normal); t_reads/n_reads: the realigned read dicts."""
+    vc_end = pos + len(ref_a) - 1
+    a0, a1 = pos - 2, vc_end + 2
+
+    def kept(reads):
+        return [i for i, rd in enumerate(reads)
+                if rd["pos"] <= a1 and _read_end(rd) - 1 >= a0]
+
+    ti = kept(t_reads)
+    t_m = tm[:, ti]
+    t_rd = [t_reads[i] for i in ti]
+    if nm is not None:
+        ni = kept(n_reads)
+        n_m = nm[:, ni]
+        n_rd = [n_reads[i] for i in ni]
+    else:
+        n_m, n_rd = None, []
+    comb_m = np.concatenate([t_m, n_m], axis=1) if n_m is not None else t_m
+    comb_rd = t_rd + n_rd
+
+    best_alt, informative = genotype.best_alleles(comb_m)
+    vals = {k: ([], []) for k in ("bq", "mq", "mpos", "frl")}
+    for i, rd in enumerate(comb_rd):
+        if not informative[i]:
+            continue
+        mq = rd.get("mapq", 60)
+        if mq in (0, 255):
+            continue
+        a = 1 if best_alt[i] else 0
+        vals["mq"][a].append(int(mq))
+        vals["frl"][a].append(abs(int(rd.get("frag_len", 0) or 0)))
+        if rd["pos"] <= pos <= _read_end(rd) - 1:
+            off = _read_offset_at(rd, pos)
+            if off is not None:
+                vals["bq"][a].append(int(rd["quals"][off]))
+                # ReadPosRankSumTest.cpp:27-37: distance from the nearer
+                # end of the ORIGINAL read (hard-clipped bases count)
+                L = int(rd.get("orig_len", len(rd["seq_codes"])))
+                p = int(rd.get("lclip", 0)) + off
+                if p > L // 2:
+                    p = L - p - 1
+                vals["mpos"][a].append(p)
+    mbq = (_median_ref(vals["bq"][0], 0), _median_ref(vals["bq"][1], 0))
+    mmq = (_median_ref(vals["mq"][0], 60), _median_ref(vals["mq"][1], 60))
+    mpos = _median_ref(vals["mpos"][1], 50)
+    mfrl = (_median_ref(vals["frl"][0], 0), _median_ref(vals["frl"][1], 0))
+    t_fmt = _sample_fmt(t_rd, t_m, pos)
+    n_fmt = _sample_fmt(n_rd, n_m, pos) if n_m is not None else None
+    return dict(depth=comb_m.shape[1], mbq_ref=mbq[0], mbq_alt=mbq[1],
+                mmq_ref=mmq[0], mmq_alt=mmq[1], mpos=mpos, mfrl=mfrl,
+                mfrl_diff=float(abs(mfrl[1] - mfrl[0])),
+                ad_ref=t_fmt["ad"][0], ad_alt=t_fmt["ad"][1],
+                af=t_fmt["af"], sb=t_fmt["sb"],
+                normal_ad_ref=n_fmt["ad"][0] if n_fmt else 0,
+                normal_ad_alt=n_fmt["ad"][1] if n_fmt else 0,
+                tumor_fmt=t_fmt, normal_fmt=n_fmt)
 
 
 class Mutect2Engine:
@@ -453,29 +561,62 @@ class Mutect2Engine:
         t_lik = t_fut()                               # [H, Rt] log10
         n_lik = n_fut() if n_fut is not None else None
 
+        # PairHMMLikelihoodCalculationEngine.cpp:93-94 post-processing:
+        #  1. normalizeLikelihoods(qualToErrorProbLog10(45)): every
+        #     haplotype likelihood is floored at best - 4.5 log10 (the
+        #     global read-mismapping rate cap), and
+        #  2. filterPoorlyModeledEvidence: drop reads whose best
+        #     likelihood < -4.0 * min(2, ceil(0.02 * len)) — reads no
+        #     haplotype explains (log10MinTrueLikelihood, .cpp:294-299)
+        def norm_filter(lik, reads):
+            if lik is None or not len(reads):
+                return lik, reads
+            best = lik.max(axis=0)
+            lik = np.maximum(lik, best[None, :] - 4.5)
+            min_true = np.array([-4.0 * min(2.0, np.ceil(
+                len(r["seq_codes"]) * 0.02)) for r in reads])
+            keep = best >= min_true
+            if keep.all():
+                return lik, reads
+            return lik[:, keep], [r for r, k in zip(reads, keep) if k]
+
+        t_lik, t_reads = norm_filter(t_lik, t_reads)
+        n_lik, n_reads = norm_filter(n_lik, n_reads)
+        if t_lik is None or t_lik.shape[1] == 0:
+            return []
+
         # realignReadsToTheirBestHaplotype (AssemblyBasedCallerUtils
         # .cpp:163): annotation pileups (MBQ/MPOS) see indel-aware
         # coordinates. Reads whose best haplotype is the reference keep
         # their aligner coordinates (they already match the ref).
         from . import realign as realignmod
-        best_h = np.argmax(t_lik, axis=0)
         hap_cigars = prep["hap_cigars"]
-        ann_reads = []
-        for r_i, rd in enumerate(t_reads):
-            h = int(best_h[r_i])
-            if haps[h].is_ref or hap_cigars[h] is None:
-                ann_reads.append(rd)
-                continue
-            try:
-                new_pos, new_cig = realignmod.realign_read(
-                    rd["seq_codes"], hap_bases[h], hap_cigars[h],
-                    prep["hap_roff"][h])
-                rd2 = dict(rd)
-                rd2["pos"] = new_pos
-                rd2["cigar"] = new_cig
-                ann_reads.append(rd2)
-            except Exception:      # noqa: BLE001 - annotation fallback
-                ann_reads.append(rd)
+
+        def realign_all(reads, lik):
+            if not reads:
+                return []
+            best_h = np.argmax(lik, axis=0)
+            out = []
+            for r_i, rd in enumerate(reads):
+                h = int(best_h[r_i])
+                if haps[h].is_ref or hap_cigars[h] is None:
+                    out.append(rd)
+                    continue
+                try:
+                    new_pos, new_cig = realignmod.realign_read(
+                        rd["seq_codes"], hap_bases[h], hap_cigars[h],
+                        prep["hap_roff"][h])
+                    rd2 = dict(rd)
+                    rd2["pos"] = new_pos
+                    rd2["cigar"] = new_cig
+                    out.append(rd2)
+                except Exception:  # noqa: BLE001 - annotation fallback
+                    out.append(rd)
+            return out
+
+        ann_reads = realign_all(t_reads, t_lik)
+        n_ann_reads = realign_all(n_reads, n_lik) \
+            if n_lik is not None else []
 
         calls = []
         call_hapsets = []
@@ -490,49 +631,42 @@ class Mutect2Engine:
             tlod = tlod_ln / LOG10
             if tlod <= self.emission:
                 continue
-            filters = []
             nlod = None
             n_art_lod = None
-            n_ad_ref = n_ad_alt = 0
+            nm = None
             if n_lik is not None and n_lik.shape[1] > 0:
                 nm = genotype.marginalize_to_alleles(n_lik, has_alt, spans)
-                # normal odds AGAINST the variant (diploid ref evidence)
-                nlod_ln = -genotype.somatic_log_odds(nm)[0]
-                nlod = nlod_ln / LOG10
-                # evidence FOR the allele in the normal = artifact lod
-                n_art_lod = float(genotype.somatic_log_odds(nm)[0]) / LOG10
-                n_assign = nm[1] > nm[0]
-                n_inf = np.abs(nm[1] - nm[0]) > 0.1
-                n_ad_alt = int((n_assign & n_inf).sum())
-                n_ad_ref = int((~n_assign & n_inf).sum())
-                if nlod < self.normal_odds:
-                    filters.append("germline")
-            # allelic depths by best-likelihood read assignment
-            assign = tm[1] > tm[0]
-            informative = np.abs(tm[1] - tm[0]) > 0.1
-            ad_alt = int((assign & informative).sum())
-            ad_ref = int((~assign & informative).sum())
-            depth = tm.shape[1]
-            af = ad_alt / max(ad_ref + ad_alt, 1)
-            ann = _allele_annotations(ann_reads, assign, informative, pos)
-            indel_len = len(alt_a) - len(ref_a)
-            unit_len, rep_count = _str_context(
-                self.ref, pos + 1) if indel_len != 0 else (0, 0)
+                # NLOD: diploid hom-ref over het odds in the normal
+                # (SomaticGenotypeEngine::diploidAltLogOdds)
+                nlod = float(genotype.diploid_alt_log_odds(nm)) / LOG10
+                # NALOD: negated somatic odds of the allele in the normal
+                # (NORMAL_ARTIFACT_LOG_10_ODDS_KEY, .cpp:126-128)
+                n_art_lod = -float(genotype.somatic_log_odds(nm)[0]) / LOG10
+                # germline-allele gate (.cpp:94-105): when the normal
+                # does NOT look hom-ref, skip the variant entirely
+                if nlod <= self.normal_odds:
+                    continue
+            ann = _annotate_event(pos, ref_a, alt_a, tm, nm,
+                                  ann_reads, n_ann_reads)
+            tr = _tandem_repeat_rpa(self.ref, pos, ref_a, alt_a)
             site_lods.setdefault(pos, []).append(float(tlod))
             calls.append(VariantCall(
                 contig=self.contig, pos=pos, ref=ref_a, alt=alt_a,
-                tlod=float(tlod), nlod=nlod, depth=depth,
-                ad_ref=ad_ref, ad_alt=ad_alt, af=af,
-                filters=tuple(filters),
-                ecnt=len(all_events),
+                tlod=float(tlod), nlod=nlod,
+                filters=(),
                 n_artifact_lod=n_art_lod,
-                normal_ad_ref=n_ad_ref, normal_ad_alt=n_ad_alt,
-                repeat_unit_length=unit_len, repeat_count=rep_count,
+                rpa=(tr[0], tr[1]) if tr else None,
+                repeat_unit=tr[2] if tr else "",
+                repeat_unit_length=len(tr[2]) if tr else 0,
+                repeat_count=tr[0] if tr else 0,
                 n_count=_count_ns_at(t_reads, n_reads, pos),
                 **ann))
             call_hapsets.append(frozenset(np.flatnonzero(has_alt)))
         for c in calls:
             c.site_alt_lods = tuple(site_lods.get(c.pos, ()))
+            # ECNT = emitted calls in this region (SomaticGenotypeEngine
+            # .cpp:182-189: outputCalls->size(), not assembled events)
+            c.ecnt = len(calls)
         _assign_phasing(calls, call_hapsets)
         return calls
 
@@ -583,7 +717,7 @@ def apply_filter_mutect_calls(calls, **overrides):
         n_artifact_lod=c.n_artifact_lod, normal_ad_ref=c.normal_ad_ref,
         normal_ad_alt=c.normal_ad_alt,
         repeat_unit_length=c.repeat_unit_length,
-        repeat_count=c.repeat_count,
+        repeat_count=c.repeat_count, rpa=c.rpa,
         pos=c.pos, n_count=c.n_count, in_pon=c.in_pon,
         phasing="".join(c.phasing) if c.phasing else None)
         for c in calls]
@@ -593,30 +727,60 @@ def apply_filter_mutect_calls(calls, **overrides):
     return eng
 
 
+def _g6(x):
+    """htslib-style %g float (how the reference's VCFWriter/bcf prints)."""
+    return f"{float(x):.6g}"
+
+
 def write_vcf(path, calls, contig_names, contig_lens,
-              tumor_sample="TUMOR", normal_sample=None):
+              tumor_sample="tumor", normal_sample=None):
+    """VCF output matching the reference VCFWriter.cpp record shape:
+    INFO keys in alphabetical order (DP,ECNT,MBQ,MFRL,MMQ,MPOS,NALOD,
+    NLOD,POPAF,[RPA,RU,STR,]TLOD), FORMAT GT:AD:DP:AF:F1R2:F2R1:SB with
+    GT omitted ('.'), sample columns normal-first (merged-header
+    order, input_bam[0] = normal after adjust_input_bam)."""
     from ..io.vcf import VcfWriter
-    samples = [tumor_sample] + ([normal_sample] if normal_sample else [])
+    samples = ([normal_sample] if normal_sample else []) + [tumor_sample]
     w = VcfWriter(path, contig_names, contig_lens, samples)
     for c in calls:
-        info = {"TLOD": f"{c.tlod:.2f}", "DP": c.depth,
-                "ECNT": c.ecnt, "MBQ": f"{c.mbq_ref},{c.mbq_alt}",
-                "MMQ": f"60,{c.mmq_alt}", "MPOS": c.mpos,
-                "POPAF": f"{-np.log10(max(c.pop_af, 1e-10)):.2f}"}
-        if c.nlod is not None:
-            info["NLOD"] = f"{c.nlod:.2f}"
+        info = {"DP": c.depth, "ECNT": c.ecnt,
+                "MBQ": f"{c.mbq_ref},{c.mbq_alt}",
+                "MFRL": f"{c.mfrl[0]},{c.mfrl[1]}",
+                "MMQ": f"{c.mmq_ref},{c.mmq_alt}",
+                "MPOS": c.mpos}
         if c.n_artifact_lod is not None:
-            info["NALOD"] = f"{c.n_artifact_lod:.2f}"
+            info["NALOD"] = _g6(c.n_artifact_lod)
         if c.n_count:
             info["NCount"] = c.n_count
+        if c.nlod is not None:
+            info["NLOD"] = _g6(c.nlod)
         if c.in_pon:
             info["PON"] = True
-        sample = {"GT": "0/1", "AD": f"{c.ad_ref},{c.ad_alt}",
-                  "AF": f"{c.af:.3f}",
-                  "SB": ",".join(str(x) for x in c.sb)}
+        info["POPAF"] = _g6(-np.log10(max(c.pop_af, 1e-10)))
+        if c.rpa is not None:
+            info["RPA"] = f"{c.rpa[0]},{c.rpa[1]}"
+            info["RU"] = c.repeat_unit
+            info["STR"] = True
+        info["TLOD"] = _g6(c.tlod)
+
+        def col(fmt):
+            if fmt is None:
+                return {"GT": "."}
+            d = {"GT": ".",
+                 "AD": f"{fmt['ad'][0]},{fmt['ad'][1]}",
+                 "DP": str(fmt["dp"]),
+                 "AF": _g6(fmt["af"]),
+                 "F1R2": f"{fmt['f1r2'][0]},{fmt['f1r2'][1]}",
+                 "F2R1": f"{fmt['f2r1'][0]},{fmt['f2r1'][1]}",
+                 "SB": ",".join(str(x) for x in fmt["sb"])}
+            return d
+
+        t_col = col(c.tumor_fmt or
+                    dict(ad=(c.ad_ref, c.ad_alt), dp=c.ad_ref + c.ad_alt,
+                         af=c.af, f1r2=(0, 0), f2r1=(0, 0), sb=c.sb))
         if c.phasing:
-            sample["PGT"], sample["PID"] = c.phasing
-        fields = [sample] + ([{"GT": "0/0"}] if normal_sample else [])
+            t_col["PGT"], t_col["PID"] = c.phasing
+        fields = ([col(c.normal_fmt)] if normal_sample else []) + [t_col]
         w.add(c.contig, c.pos + 1, c.ref, [c.alt], info, list(c.filters),
               fields)
     w.close()

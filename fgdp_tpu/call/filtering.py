@@ -75,6 +75,7 @@ class FilterableCall:
     normal_ad_alt: int = 0
     repeat_unit_length: int = 0   # STR context for slippage
     repeat_count: int = 0
+    rpa: tuple | None = None      # (ref_repeats, alt_repeats) VCF RPA
     pos: int = 0                  # site coordinate (FilteredHaplotype)
     n_count: int = 0              # N bases at site (CountNs annotation)
     in_pon: bool = False          # site present in the panel of normals
@@ -328,19 +329,28 @@ class PolymeraseSlippageFilter(Filter):
     error_type = ARTIFACT
 
     def _calc(self, c, eng):
-        if c.indel_length == 0 or c.repeat_unit_length == 0:
+        # PolymeraseSlippageFilter.cpp:20-56: requires the RPA/RU
+        # annotation; fires only on one-unit slips in STRs whose
+        # reference base span >= minSlippageLength
+        rpa = getattr(c, "rpa", None)
+        if rpa is None or c.repeat_unit_length == 0:
             return 0.0
-        if c.repeat_count < eng.args["min_slippage_length"]:
+        ref_str_bases = c.repeat_unit_length * rpa[0]
+        if ref_str_bases < eng.args["min_slippage_length"] or \
+                abs(rpa[0] - rpa[1]) != 1:
             return 0.0
-        # log odds of slippage (rate per unit) vs somatic indel
-        log_slip = cl.binomial_log_prob(
-            c.total, eng.args["slippage_rate"] / 2, c.ad_alt)
+        from scipy import special as sps
         log_som = eng.model.log_likelihood_given_somatic(c.total, c.ad_alt)
-        prior_slip = 0.1
-        probs = cl.normalize_log([
-            log_slip + math.log(prior_slip),
-            log_som + math.log(1 - prior_slip)])
-        return float(probs[0])
+        # likelihood under slippage: regularizedBeta(rate, alt+1, ref+1)
+        lik_slip = float(sps.betainc(c.ad_alt + 1, c.ad_ref + 1,
+                                     eng.args["slippage_rate"]))
+        if lik_slip <= 0.0:
+            lik_slip = math.exp(cl.binomial_log_prob(
+                c.total, eng.args["slippage_rate"], c.ad_alt))
+        log_odds = log_som - math.log(max(lik_slip, 1e-300))
+        return Mutect2FilteringEngine._posterior_probability_of_error(
+            log_odds, eng.model.log_prior_of_somatic_variant(
+                c.indel_length))
 
 
 class NRatioFilter(HardFilter):
@@ -421,9 +431,14 @@ class NormalArtifactFilter(Filter):
         normal_af = c.normal_ad_alt / normal_depth if normal_depth else 0.0
         if normal_af < self.MIN_NORMAL_ARTIFACT_RATIO * tumor_af:
             return 0.0
+        # n_artifact_lod carries the VCF NALOD (negative log10 odds of
+        # a normal artifact); log10ToLog like NormalArtifactFilter.cpp:41
         p = eng.posterior_probability_of_normal_artifact(
             c.n_artifact_lod * LOG10)
-        err = 10.0 ** (-self.IMPUTED_NORMAL_BASE_QUALITY / 10.0)
+        # NormalArtifactFilter.cpp:44-47: median REF base quality from
+        # MBQ[0] when present, else the imputed default
+        mbq = getattr(c, "mbq_ref", None) or self.IMPUTED_NORMAL_BASE_QUALITY
+        err = 10.0 ** (-mbq / 10.0)
         # P(normal alt count >= observed | sequencing error only)
         pval = 1.0 - _binom_cdf(normal_depth, err, c.normal_ad_alt - 1)
         return 1.0 if pval < eng.args["normal_p_value_threshold"] else p

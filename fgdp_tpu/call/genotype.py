@@ -140,6 +140,56 @@ def somatic_log_odds(log_matrix):
     return out
 
 
+def diploid_alt_log_odds(log_matrix):
+    """SomaticGenotypeEngine::diploidAltLogOdds (.cpp:304-326): natural-log
+    odds of hom-ref over het in a (normal) sample. log_matrix: [2, R]
+    natural-log, row 0 = ref. hom-ref likelihood = sum of ref-row; het
+    likelihood per read = logSumExp(ref, alt) + ln(1/2)."""
+    m = np.asarray(log_matrix, np.float64)
+    if m.shape[1] == 0:
+        return 0.0
+    hom_ref = m[0].sum()
+    het = np.logaddexp(m[0], m[1]).sum() + m.shape[1] * np.log(0.5)
+    return hom_ref - het
+
+
+def effective_counts(log_matrix):
+    """SomaticGenotypeEngine::getEffectiveCounts: per-allele sums of the
+    per-read softmax responsibilities. log_matrix: [A, R] natural log.
+    Returns float[A]."""
+    m = np.asarray(log_matrix, np.float64)
+    if m.shape[1] == 0:
+        return np.zeros(m.shape[0])
+    z = np.exp(m - sps.logsumexp(m, axis=0, keepdims=True))
+    return z.sum(axis=1)
+
+
+# AlleleLikelihoods::NATURAL_LOG_INFORMATIVE_THRESHOLD
+# (LOG_10_INFORMATIVE_THRESHOLD = 0.2, DepthPerSampleHC.cpp:7)
+INFORMATIVE_THRESHOLD = 0.2 * np.log(10.0)
+
+
+def best_alleles(log_matrix):
+    """AlleleLikelihoods::bestAllelesBreakingTies over a [2, R] natural-log
+    matrix (row 0 = ref; ties break to ref). Returns (best_is_alt bool[R],
+    informative bool[R]) where informative = best - second > 0.2*ln10."""
+    m = np.asarray(log_matrix, np.float64)
+    best_alt = m[1] > m[0]
+    informative = np.abs(m[1] - m[0]) > INFORMATIVE_THRESHOLD
+    return best_alt, informative
+
+
+def allele_fraction_posterior_mean(log_matrix):
+    """addGenotypes' AF (SomaticGenotypeEngine.cpp:363-369): normalized
+    Dirichlet posterior (flat prior 1.0) mean of the ALT fraction.
+    log_matrix: [2, R] natural log, row 0 = ref."""
+    m = np.asarray(log_matrix, np.float64)
+    if m.shape[1] == 0:
+        return 0.5
+    post = allele_fractions_posterior(m, np.ones(m.shape[0]))
+    return float(post[1] / post.sum())
+
+
 def marginalize_to_alleles(hap_liks, hap_has_alt, hap_spans):
     """AlleleLikelihoods::marginalize: read x allele log-likelihood =
     max over haplotypes carrying that allele. hap_liks: [H, R] log10;

@@ -110,9 +110,39 @@ def clip_read_to_window(rd, w0, w1):
         return None
     seq, quals, pos, cigar = out
     rd2 = dict(rd)
+    # original-read bookkeeping for MPOS (ReadPosRankSumTest.cpp:27-37:
+    # hard-clipped bases still count toward distance-from-read-end)
+    n_before = len(rd["seq_codes"])
+    rd2["orig_len"] = rd.get("orig_len", n_before)
+    # leading clipped bases = read bases consumed before the kept window
+    lead = _leading_clipped(rd["cigar"], rd["pos"], cigar, pos)
+    rd2["lclip"] = rd.get("lclip", 0) + lead
     rd2["seq_codes"] = seq
     rd2["quals"] = quals
     rd2["pos"] = pos
     rd2["cigar"] = cigar
     rd2.pop("_hmm_quals", None)
     return rd2
+
+
+def _leading_clipped(old_cigar, old_pos, new_cigar, new_pos):
+    """Read bases removed from the left by a clip from (old_pos,
+    old_cigar) to (new_pos, new_cigar): walk the old cigar until the
+    reference cursor reaches new_pos, counting read-consuming bases."""
+    x, y = 0, old_pos
+    for op, ln in old_cigar:
+        if y >= new_pos and op in (0, 7, 8):
+            break
+        if op in (0, 7, 8):
+            step = min(ln, max(new_pos - y, 0))
+            x += step
+            y += step
+            if y >= new_pos:
+                break
+            x += ln - step
+            y += ln - step
+        elif op in (1, 4):
+            x += ln
+        elif op in (2, 3):
+            y += ln
+    return x

@@ -302,9 +302,29 @@ def cmd_mutect(args):
     from .call.engine import apply_filter_mutect_calls
     apply_filter_mutect_calls(all_calls,
                               callable_sites=max(callable_sites, 1))
+    # sample names from the BAMs' @RG SM tags (reference: merged-header
+    # read groups feed VCFWriter.writeHeader, main.cpp:598-600)
+    def _sm(path, default):
+        from .io.bam import BamReader
+        try:
+            rdr = BamReader(path)
+            try:
+                for line in rdr.header_text.splitlines():
+                    if line.startswith("@RG"):
+                        for f in line.split("\t"):
+                            if f.startswith("SM:"):
+                                return f[3:]
+            finally:
+                rdr.close()
+        except Exception:  # noqa: BLE001 - SAM input or headerless BAM
+            pass
+        return default
+
     write_vcf(args.output, all_calls, ref.names,
               np.diff(ref.offsets).tolist(),
-              normal_sample="NORMAL" if args.normal else None)
+              tumor_sample=_sm(args.input, "tumor"),
+              normal_sample=_sm(args.normal, "normal")
+              if args.normal else None)
     print(f"[mutect] {len(all_calls)} calls -> {args.output}",
           file=sys.stderr)
 

@@ -37,6 +37,11 @@ class VcfWriter:
                 "INFO", "FORMAT"] + list(sample_names)
         self.f.write("\t".join(cols) + "\n")
 
+    # FORMAT key precedence (reference VCFWriter record shape:
+    # GT:AD:DP:AF:F1R2:F2R1:...:SB); unknown keys sort after, by name
+    _FMT_ORDER = {k: i for i, k in enumerate(
+        ("GT", "AD", "DP", "AF", "F1R2", "F2R1", "PGT", "PID"))}
+
     def add(self, contig, pos1, ref, alts, info: dict, filters,
             sample_fields):
         """pos1: 1-based. sample_fields: list of dicts per sample.
@@ -45,7 +50,8 @@ class VcfWriter:
                        for k, v in info.items()) or "."
         filt = ";".join(filters) if filters else "PASS"
         keys = sorted({k for sf in sample_fields for k in sf},
-                      key=lambda k: (k != "GT", k))
+                      key=lambda k: (self._FMT_ORDER.get(k, 98),
+                                     k == "SB", k))
         fmt = ":".join(keys)
         samples = [":".join(str(sf.get(k, ".")) for k in keys)
                    for sf in sample_fields]

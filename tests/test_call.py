@@ -93,9 +93,11 @@ def test_germline_filtered(world):
     normal = _cover(ref, rng, (1600, 1800), muts=[(vpos, alt)], frac=0.5)
     eng = Mutect2Engine(ref, "chr1")
     calls = eng.call(tumor, normal)
+    # germline-allele gate (SomaticGenotypeEngine.cpp:94-105): when the
+    # normal carries the allele too, NLOD fails the threshold and the
+    # variant is suppressed entirely (not emitted-with-filter)
     hits = [c for c in calls if c.pos == vpos]
-    assert hits
-    assert "germline" in hits[0].filters
+    assert not hits
 
 
 def test_clean_coverage_no_calls(world):
