@@ -105,6 +105,11 @@ class BatchShapes:
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read
     max_regs: int = 48           # extension jobs / alignment regions per read
+    # device->host transfer width: regs are compacted valid-first on
+    # device and only this many columns cross the (slow) PCIe/relay
+    # link; a read with more valid regs sets overflow and rides the
+    # escalation ladder (which widens this too)
+    transfer_regs: int = 16
     # SW extension ref-window cap: must cover read_len + 2*cal_max_gap cap
     # (= w<<1, bwamem.cpp:75); 151 + 200 rounded up
     max_ext_ref: int = 368

@@ -38,7 +38,43 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                                    max_regs=shapes.max_regs,
                                    t_max=shapes.max_ext_ref,
                                    jobs_per_read=6 * shapes.seed_scale)
-    return regs
+    return compact_regs(regs, shapes.transfer_regs)
+
+
+# reg fields that fit comfortably in int16 (offsets/scores bounded by
+# read_len and a*read_len; rb/re are pac coordinates and stay wide)
+_NARROW_FIELDS = ("qb", "qe", "score", "truesc", "sw_w", "seedcov",
+                  "seedlen0")
+
+
+def compact_regs(regs: "extendmod.AlnRegBatch", k: int):
+    """Device-side transfer compaction: order each read's reg slots
+    valid-first (stable) and keep only the first k columns, downcasting
+    bounded fields to int16. The device->host link is the pipeline's
+    scarcest resource (measured 4-5 MB/s through the relay vs 0.13 s of
+    compute per 1024-read batch); typical reads carry 1-3 valid regs of
+    max_regs=48 slots, so shipping 16 compacted columns cuts the batch
+    payload ~4x without losing information — a read with more than k
+    valid regs sets its overflow flag and is re-run through the
+    escalation ladder, which widens k alongside every other bound."""
+    if k >= regs.valid.shape[1]:
+        return regs
+    order = jnp.argsort(~regs.valid, axis=1, stable=True)[:, :k]
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    counts = regs.valid.sum(axis=1)
+    fields = {}
+    for name in regs._fields:
+        v = getattr(regs, name)
+        if v.ndim != 2:
+            continue
+        v = take(v)
+        if name in _NARROW_FIELDS:
+            v = v.astype(jnp.int16)
+        fields[name] = v
+    return regs._replace(overflow=regs.overflow | (counts > k), **fields)
 
 
 class Aligner:
@@ -126,12 +162,24 @@ class Aligner:
             regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
                             jnp.asarray(lens), jnp.ones(B, bool))
         self._warm = True
+        # start the device->host copies now: they complete behind the
+        # next batches' compute, so _regs_to_np's np.asarray is a wait,
+        # not a fresh round-trip (the relay link is the bottleneck)
+        for v in regs:
+            try:
+                v.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break
         return regs
 
     ESCALATE_LEVELS = 2
 
     def _regs_to_np(self, regs, seq_codes=None):
-        out = {k: np.asarray(v) for k, v in regs._asdict().items()}
+        # int16 fields ride the wire narrow (compact_regs); the host
+        # finalize code computes in plain int — upcast on arrival
+        out = {k: (a := np.asarray(v),
+                   a.astype(np.int32) if a.dtype == np.int16 else a)[1]
+               for k, v in regs._asdict().items()}
         if seq_codes is not None:
             out = self._retry_overflow(out, seq_codes)
         return out
@@ -144,6 +192,7 @@ class Aligner:
                            max_seeds=s.max_seeds * f,
                            max_chains=s.max_chains * f,
                            max_regs=s.max_regs * f,
+                           transfer_regs=s.transfer_regs * f,
                            seed_scale=s.seed_scale * f)
 
     def _retry_overflow(self, regs_np, seq_codes):
