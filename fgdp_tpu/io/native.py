@@ -44,6 +44,7 @@ def get_lib():
         lib.bgzf_compress_parallel.restype = ctypes.c_int64
         lib.suffix_array_u8.restype = ctypes.c_int64
         lib.ksw_global_batch_native.restype = ctypes.c_int
+        lib.lcp_tree_arrays.restype = ctypes.c_int
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -245,6 +246,30 @@ def ksw_global_batch(queries, qlens, targets, tlens, ws, o_del, e_del,
             cigars.append([(int(row[2 * i]), int(row[2 * i + 1]))
                            for i in range(nc)])
     return scores.astype(np.int64), cigars
+
+
+def lcp_tree_arrays(x: np.ndarray, sa: np.ndarray):
+    """Kasai LCP + prev/next-strictly-smaller boundary arrays for the
+    single-pass SMEM engine (ops/smem_lcp.py). x uint8[xlen] codes,
+    sa int32[xlen+1] full suffix array incl. the sentinel row. Returns
+    (lcp, left, right) int32[xlen+2] per SA boundary, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.uint8)
+    sa = np.ascontiguousarray(sa, np.int32)
+    nrows = len(sa)
+    lcp = np.zeros(nrows + 1, np.int32)
+    left = np.zeros(nrows + 1, np.int32)
+    right = np.zeros(nrows + 1, np.int32)
+    rc = lib.lcp_tree_arrays(x.ctypes.data_as(ctypes.c_char_p),
+                             ctypes.c_int64(len(x)),
+                             _ptr(sa, ctypes.c_int32),
+                             ctypes.c_int64(nrows),
+                             _ptr(lcp, ctypes.c_int32),
+                             _ptr(left, ctypes.c_int32),
+                             _ptr(right, ctypes.c_int32))
+    return (lcp, left, right) if rc == 0 else None
 
 
 def suffix_array_u8(codes: np.ndarray):

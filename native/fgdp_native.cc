@@ -1021,4 +1021,63 @@ int ksw_global_batch_native(
     return 0;
 }
 
+// ----------------------------------------------------------------------
+// LCP-interval tree arrays for single-pass SMEM enumeration (the LISA
+// lcpi/lcpp1 role, ext/TAL/src/LISA-FMI/LISA_search.h:265-333 — own
+// construction: Kasai LCP + monotonic-stack prev/next-strictly-smaller).
+//
+// Inputs: text x (uint8[xlen], codes 0..3) and its full suffix array
+// sa (int32[nrows], nrows = xlen + 1, sa[0] = xlen = sentinel suffix;
+// suffix order with the sentinel smallest).
+// Outputs, one entry per SA BOUNDARY b in [0, nrows] (boundary b sits
+// between rows b-1 and b):
+//   lcp[b]   = LCP(suffix at row b-1, suffix at row b); -1 at b=0,nrows
+//   left[b]  = max j <  b with lcp[j] < lcp[b]   (interval left end)
+//   right[b] = min j >  b with lcp[j] < lcp[b]   (interval right end)
+// [left[b], right[b]) is the smallest lcp-interval strictly containing
+// boundary b; its depth is lcp[b].
+// ----------------------------------------------------------------------
+
+extern "C" int lcp_tree_arrays(const uint8_t* x, int64_t xlen,
+                               const int32_t* sa, int64_t nrows,
+                               int32_t* lcp, int32_t* left,
+                               int32_t* right) {
+    if (nrows != xlen + 1) return -1;
+    std::vector<int32_t> rank(nrows);
+    for (int64_t r = 0; r < nrows; r++) {
+        int32_t p = sa[r];
+        if (p < 0 || p > xlen) return -2;
+        rank[p] = (int32_t)r;
+    }
+    // Kasai over suffixes (virtual terminator past xlen, smallest)
+    int64_t h = 0;
+    for (int64_t i = 0; i <= xlen; i++) {
+        int32_t r = rank[i];
+        if (r == 0) { h = 0; continue; }
+        int64_t j = sa[r - 1];
+        while (i + h < xlen && j + h < xlen && x[i + h] == x[j + h]) h++;
+        lcp[r] = (int32_t)h;
+        if (h > 0) h--;
+    }
+    lcp[0] = -1;
+    lcp[nrows] = -1;
+    // prev / next strictly-smaller via monotonic stacks
+    {
+        std::vector<int64_t> st;
+        st.reserve(1 << 16);
+        for (int64_t b = 0; b <= nrows; b++) {
+            while (!st.empty() && lcp[st.back()] >= lcp[b]) st.pop_back();
+            left[b] = st.empty() ? 0 : (int32_t)st.back();
+            st.push_back(b);
+        }
+        st.clear();
+        for (int64_t b = nrows; b >= 0; b--) {
+            while (!st.empty() && lcp[st.back()] >= lcp[b]) st.pop_back();
+            right[b] = st.empty() ? (int32_t)nrows : (int32_t)st.back();
+            st.push_back(b);
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
