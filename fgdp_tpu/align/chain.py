@@ -56,58 +56,97 @@ class ChainBatch(NamedTuple):
     n_chains: jax.Array    # int32[B]
     frac_rep: jax.Array    # float32[B]
     overflow: jax.Array    # bool[B]
+    # flat (read-major) copy of the expanded seeds, [NJ] lanes: lets the
+    # extension driver build its job list with NJ-row gathers instead of
+    # [B, P]-row scatters (the former job build was ~60% of extend)
+    fread: jax.Array       # int32[NJ] owning read (non-decreasing)
+    fslot: jax.Array       # int32[NJ] seed slot within the read
+    fqbeg: jax.Array       # int32[NJ]
+    frbeg: jax.Array       # int32[NJ]
+    fslen: jax.Array       # int32[NJ]
+    fon: jax.Array         # bool[NJ] lane holds a valid expanded seed
 
 
 def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
-                 opt: AlignConfig, max_seedpos: int):
+                 opt: AlignConfig, max_seedpos: int, jobs_cap: int = 0):
     """SA expansion with occurrence-step sampling (bwamem.cpp:1181-1196).
 
     Returns flat per-read job arrays (qbeg, rbeg, len, rid, valid) of
     width P = max_seedpos, in smem-then-occurrence order, plus overflow.
+
+    Jobs are compacted GLOBALLY before any row gather: typical reads
+    expand ~3 (read, occurrence) jobs, so gathering NJ ~ 8*B table/SA
+    rows replaces the former [B, P] = 256*B-row gathers (which were
+    ~85% of the whole chain phase at the bench config, 33 ms of 39).
+    NJ = jobs_cap (default 8*B, scaled by the escalation ladder via
+    max_seedpos); reads whose jobs run past NJ flag overflow.
     """
     B, S = smems.m.shape
     P = max_seedpos
+    NJ = jobs_cap or B * max(P // 16, 16)
     slot_valid = jnp.arange(S)[None, :] < smems.count[:, None]
     s = jnp.where(slot_valid, smems.s, 0)
     step = jnp.where(s > opt.max_occ, s // opt.max_occ, 1)
     cnt = jnp.where(slot_valid, jnp.minimum(-(-s // jnp.maximum(step, 1)),
                                             opt.max_occ), 0)
-    base = jnp.cumsum(cnt, axis=1) - cnt          # exclusive prefix
+    base = jnp.cumsum(cnt, axis=1) - cnt          # exclusive within-read
     total = base[:, -1] + cnt[:, -1]
     overflow = total > P
 
-    t = jnp.arange(P, dtype=jnp.int32)[None, :]
-    # smem index owning flat slot t: last i with base[i] <= t and cnt[i]>0
-    owner = jax.vmap(
-        lambda b, tt: jnp.searchsorted(b, tt, side="right"))(
-            (base + cnt).astype(jnp.int32), t.repeat(B, 0))
-    owner = jnp.clip(owner, 0, S - 1).astype(jnp.int32)
-    valid = t < jnp.minimum(total, P)[:, None]
-    # ONE fused multi-field row gather for all per-owner fields: row
-    # gathers cost per ROW, not per byte (see README perf model), so
-    # stacking (base, k, step, m, n) into a [B*S, 5] table makes the
-    # five former take_along_axis gathers cost one
-    tbl = jnp.stack([base, smems.k, step, smems.m, smems.n],
+    # global job layout: slot (b, i) owns job rows [gbase, gbase + cnt)
+    fc = cnt.reshape(-1)
+    gbase = jnp.cumsum(fc) - fc                   # [B*S]
+    # compact slots with cnt > 0, order-preserving (sort of masked
+    # indices; scatters serialize on TPU — see smem_sweep.flatten_entries)
+    fq = fc > 0
+    key = jnp.where(fq, jnp.arange(B * S, dtype=jnp.int32),
+                    jnp.int32(B * S))
+    l_src = jax.lax.sort(key)[:NJ]
+    l_on = l_src < B * S
+    l_src = jnp.where(l_on, l_src, 0)
+    tbl = jnp.stack([smems.m, smems.n, smems.k, step, base],
                     axis=-1).reshape(B * S, 5)
-    rows = jnp.take(tbl, (jnp.arange(B, dtype=jnp.int32)[:, None] * S +
-                          owner).reshape(-1), axis=0,
-                    mode="clip").reshape(B, P, 5)
-    occ_idx = t - rows[:, :, 0]
-    k_own = rows[:, :, 1]
-    sa_row = k_own + occ_idx * rows[:, :, 2]
+    rows_s = tbl[l_src]                           # [NJ, 5] slot table
+    sgb = jnp.where(l_on, gbase[l_src], NJ)
+    # job -> owning slot rank: one start marker per slot, prefix-summed
+    # (slot ranks <= their gbase, so any slot dropped past NJ ranks has
+    # all its jobs past NJ as well — no mis-ownership)
+    starts = jnp.zeros(NJ + 1, jnp.int32).at[jnp.minimum(sgb, NJ)].add(
+        l_on.astype(jnp.int32))
+    owner = jnp.clip(jnp.cumsum(starts[:NJ]) - 1, 0, NJ - 1)
+    jar = jnp.arange(NJ, dtype=jnp.int32)
+    live = jar < jnp.minimum(gbase[-1] + fc[-1], NJ)
+    ro = rows_s[owner]                            # [NJ, 5]
+    occ_idx = jar - sgb[owner]
+    qbeg_j, qend_j, k_j, step_j, base_j = (ro[:, i] for i in range(5))
+    slen_j = qend_j + 1 - qbeg_j
+    sa_row = k_j + occ_idx * step_j
     # k < -1 encodes a direct text position (-k - 2): single-suffix
     # seeds from the SMEM fast path skip the SA round trip entirely
-    rbeg = jnp.where(
-        k_own < -1, -k_own - 2,
+    rbeg_j = jnp.where(
+        k_j < -1, -k_j - 2,
         fmops.sa_lookup(dfm, jnp.clip(sa_row, 0, dfm.sa.shape[0] - 1)))
-    qbeg = rows[:, :, 3]
-    qend = rows[:, :, 4]
-    slen = qend + 1 - qbeg
+    read_j = l_src[owner] // S
+    in_ref = rbeg_j + qend_j - qbeg_j <= 2 * dref.l_pac   # rotation guard
+    rid_j = dref.intv2rid(rbeg_j, rbeg_j + slen_j)
+    valid_j = live & in_ref & (rid_j >= 0)
 
-    in_ref = rbeg + qend - qbeg <= 2 * dref.l_pac   # rotation guard
-    rid = dref.intv2rid(rbeg, rbeg + slen)
-    valid = valid & in_ref & (rid >= 0)
-    return qbeg, rbeg, slen, rid, valid, overflow
+    # scatter into the per-read [B, P] layout at t = base + occ_idx
+    tslot = base_j + occ_idx
+    keep = live & (tslot < P)
+    payload = jnp.stack([qbeg_j, rbeg_j, slen_j, rid_j,
+                         valid_j.astype(jnp.int32)], axis=1)
+    out = jnp.zeros((B + 1, P, 5), jnp.int32).at[
+        jnp.where(keep, read_j, B), jnp.where(keep, tslot, 0)].set(
+        payload, mode="drop")[:B]
+    qbeg, rbeg, slen, rid = (out[..., i] for i in range(4))
+    valid = out[..., 4] != 0
+    # reads whose jobs run past the global NJ cap lost jobs: flag them
+    ovf_nj = (gbase.reshape(B, S)[:, -1] + cnt[:, -1]) > NJ
+    flat = dict(read=read_j, slot=jnp.where(keep, tslot, 0),
+                qbeg=qbeg_j, rbeg=rbeg_j, slen=slen_j,
+                on=keep & valid_j)
+    return qbeg, rbeg, slen, rid, valid, overflow | ovf_nj, flat
 
 
 def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
@@ -130,7 +169,7 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
     l_rep = jnp.sum(contrib, axis=1)
     frac_rep = l_rep.astype(jnp.float32) / jnp.maximum(lens, 1).astype(jnp.float32)
 
-    qbeg, rbeg, slen, rid, valid, overflow = expand_seeds(
+    qbeg, rbeg, slen, rid, valid, overflow, flat = expand_seeds(
         dfm, dref, smems, opt, P)
 
     if use_pallas is None:
@@ -159,6 +198,8 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
             first_r=st["fr"], last_q=st["lq"], last_r=st["lr"],
             last_len=st["ll"], n_seeds=st["ns"], weight=weight, kept=kept,
             n_chains=st["n"], frac_rep=frac_rep, overflow=st["ovf"],
+            fread=flat["read"], fslot=flat["slot"], fqbeg=flat["qbeg"],
+            frbeg=flat["rbeg"], fslen=flat["slen"], fon=flat["on"],
         )
 
     zC = jnp.zeros((B, C), jnp.int32)
@@ -275,6 +316,8 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         last_q=st["lq"], last_r=st["lr"], last_len=st["ll"],
         n_seeds=st["ns"], weight=weight, kept=kept, n_chains=st["n"],
         frac_rep=frac_rep, overflow=st["ovf"],
+        fread=flat["read"], fslot=flat["slot"], fqbeg=flat["qbeg"],
+        frbeg=flat["rbeg"], fslen=flat["slen"], fon=flat["on"],
     )
 
 
@@ -340,7 +383,13 @@ def _chain_flt(st, weight, dref: DeviceReference, opt: AlignConfig, C: int):
         kept = kept.at[:, i].set(jnp.where(on, ki, kept[:, i]))
         return (kept, first)
 
-    kept, first = jax.lax.fori_loop(1, C, body, (kept0, first0))
+    # loop only over occupied filter ranks: typical reads carry 1-2
+    # chains, so a batch-max trip count replaces the fixed C=64 sweep
+    n_hi = jnp.minimum(jnp.max(n_f), C)
+    kept, first = jax.lax.while_loop(
+        lambda c: c[0] < n_hi,
+        lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(1), (kept0, first0)))[1]
 
     # shadow marking: kept chains' `first` targets get kept=1
     is_kept = kept > 0

@@ -72,22 +72,32 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     bidx = jnp.arange(B)
     l_pac = dref.l_pac
 
-    kept_of_seed = jnp.take_along_axis(
-        cb.kept, jnp.clip(cb.seed_chain, 0, C - 1), axis=1)
-    job = (cb.seed_chain >= 0) & (kept_of_seed > 0)
+    # ---- flat job list from the chain batch's [NJ] seed lanes ----
+    # (fread is non-decreasing; all index work below is NJ-row gathers
+    # and J-row scatters — no [B, P]-wide scatter appears anywhere)
+    NJ = cb.fread.shape[0]
+    fread = cb.fread
+    fchain = jnp.where(cb.fon, cb.seed_chain[
+        jnp.clip(fread, 0, B - 1), cb.fslot], -1)
+    fkept = jnp.take(cb.kept.reshape(-1),
+                     jnp.clip(fread, 0, B - 1) * C +
+                     jnp.clip(fchain, 0, C - 1), mode="clip")
+    job = cb.fon & (fchain >= 0) & (fkept > 0)
 
     # ---- per-chain ref window rmax (bwamem.cpp:2608-2630) ----
-    gap_l = _cal_max_gap(opt, cb.seed_qbeg)
-    gap_r = _cal_max_gap(opt, lens[:, None] - cb.seed_qbeg - cb.seed_len)
-    b_t = cb.seed_rbeg - (cb.seed_qbeg + gap_l)
-    e_t = cb.seed_rbeg + cb.seed_len + \
-        (lens[:, None] - cb.seed_qbeg - cb.seed_len) + gap_r
-    cidx = jnp.where(job, cb.seed_chain, C)
+    flens = jnp.take(lens, fread, mode="clip")
+    gap_l = _cal_max_gap(opt, cb.fqbeg)
+    rem = flens - cb.fqbeg - cb.fslen
+    gap_r = _cal_max_gap(opt, rem)
+    b_t = cb.frbeg - (cb.fqbeg + gap_l)
+    e_t = cb.frbeg + cb.fslen + rem + gap_r
+    cidx = jnp.where(job, jnp.clip(fread, 0, B - 1) * C + fchain,
+                     B * C)
     big = jnp.int32(2**31 - 1)
-    rmax0 = jnp.full((B, C + 1), 2 * l_pac, jnp.int32).at[
-        bidx[:, None], cidx].min(jnp.where(job, b_t, big))[:, :C]
-    rmax1 = jnp.zeros((B, C + 1), jnp.int32).at[
-        bidx[:, None], cidx].max(jnp.where(job, e_t, -big))[:, :C]
+    rmax0 = jnp.full(B * C + 1, 2 * l_pac, jnp.int32).at[cidx].min(
+        jnp.where(job, b_t, big), mode="drop")[:B * C].reshape(B, C)
+    rmax1 = jnp.zeros(B * C + 1, jnp.int32).at[cidx].max(
+        jnp.where(job, e_t, -big), mode="drop")[:B * C].reshape(B, C)
     rmax0 = jnp.maximum(rmax0, 0)
     rmax1 = jnp.minimum(rmax1, 2 * l_pac)
     straddle = (rmax0 < l_pac) & (l_pac < rmax1)
@@ -98,37 +108,36 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     rmax0 = jnp.maximum(rmax0, far_beg)
     rmax1 = jnp.minimum(rmax1, far_end)
 
-    # ---- compact jobs to [B, E] slots (reg layout), then globally to [J]
-    slot = jnp.cumsum(job.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(job & (slot < E), slot, E)
-    overflow = jnp.sum(job, axis=1) > E
+    # ---- reg slot within the read (order = flat order) ----
+    cj = jnp.cumsum(job.astype(jnp.int32))
+    start_idx = jnp.searchsorted(fread, jnp.arange(B, dtype=jnp.int32),
+                                 side="left").astype(jnp.int32)
+    base_r = jnp.where(start_idx > 0,
+                       jnp.take(cj, jnp.maximum(start_idx - 1, 0),
+                                mode="clip"), 0)
+    eslot = cj - 1 - jnp.take(base_r, fread, mode="clip")
+    keepE = job & (eslot < E)
+    over_mask = job & (eslot >= E)
+    overflow = jnp.zeros(B + 1, bool).at[
+        jnp.where(over_mask, fread, B)].max(over_mask, mode="drop")[:B]
 
-    def compact(a, fill=0):
-        out = jnp.full((B, E + 1), fill, a.dtype)
-        return out.at[bidx[:, None], slot].set(a, mode="drop")[:, :E]
-
-    jqb = compact(cb.seed_qbeg)
-    jrb = compact(cb.seed_rbeg)
-    jlen = compact(cb.seed_len)
-    jchain = compact(cb.seed_chain, fill=-1)
-    jvalid = jchain >= 0
-    jr0 = jnp.take_along_axis(rmax0, jnp.clip(jchain, 0, C - 1), axis=1)
-    jr1 = jnp.take_along_axis(rmax1, jnp.clip(jchain, 0, C - 1), axis=1)
-    jrid = jnp.take_along_axis(cb.rid, jnp.clip(jchain, 0, C - 1), axis=1)
-
-    # global compaction: flat index list of valid jobs -> J lanes
-    fvalid = jvalid.reshape(-1)
-    gslot = jnp.cumsum(fvalid.astype(jnp.int32)) - 1
-    gslot = jnp.where(fvalid & (gslot < J), gslot, J)
-    gidx = jnp.zeros(J + 1, jnp.int32).at[gslot].set(
-        jnp.arange(B * E, dtype=jnp.int32), mode="drop")[:J]
-    glive = jnp.zeros(J + 1, bool).at[gslot].set(fvalid, mode="drop")[:J]
-    overflow = overflow | (jnp.sum(jvalid, axis=1) > 0) & \
-        (jnp.sum(fvalid) > J)   # any read may have lost jobs past J
-    g = lambda a: a.reshape(-1)[gidx]
-    gread = gidx // E
-    gqb, grb, glen = g(jqb), g(jrb), g(jlen)
-    gr0, gr1 = g(jr0), g(jr1)
+    # ---- global compaction to J SW lanes ----
+    g2 = jnp.cumsum(keepE.astype(jnp.int32)) - 1
+    glive_m = keepE & (g2 < J)
+    dropJ = keepE & (g2 >= J)
+    overflow = overflow | jnp.zeros(B + 1, bool).at[
+        jnp.where(dropJ, fread, B)].max(dropJ, mode="drop")[:B]
+    gsl = jnp.where(glive_m, g2, J)
+    lane_tbl = jnp.stack(
+        [cb.fqbeg, cb.frbeg, cb.fslen, fread, eslot, fchain], axis=1)
+    lanes = jnp.zeros((J + 1, 6), jnp.int32).at[gsl].set(
+        lane_tbl, mode="drop")[:J]
+    glive = jnp.zeros(J + 1, bool).at[gsl].set(glive_m, mode="drop")[:J]
+    gqb, grb, glen = lanes[:, 0], lanes[:, 1], lanes[:, 2]
+    gread, geslot, gchain = lanes[:, 3], lanes[:, 4], lanes[:, 5]
+    ctbl = jnp.stack([rmax0, rmax1, cb.rid], axis=-1).reshape(B * C, 3)
+    crow = ctbl[jnp.clip(gread * C + gchain, 0, B * C - 1)]
+    gr0, gr1, grid = crow[:, 0], crow[:, 1], crow[:, 2]
     glens = lens[gread]
     gcodes = codes[gread]                                  # [J, L]
 
@@ -202,20 +211,19 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
         g_truesc)
     g_w = jnp.where(do_right, jnp.maximum(g_w, wr), g_w)
 
-    # scatter back to the [B, E] reg layout
-    def scat(vals, fill):
-        return jnp.full(B * E + 1, fill, vals.dtype).at[
-            jnp.where(glive, gidx, B * E)].set(vals, mode="drop")[
-            :B * E].reshape(B, E)
-
-    qb = scat(g_qb, 0)
-    rb = scat(g_rb, 0)
-    qe = scat(g_qe, 0)
-    re = scat(g_re, 0)
-    score = scat(g_score, -1)
-    truesc = scat(g_truesc, -1)
-    sw_w = scat(g_w, opt.w)
-    jvalid = jvalid & scat(glive, False)   # jobs dropped past J: invalid
+    # scatter back to the [B, E] reg layout: one fused J-row scatter
+    greg = jnp.where(glive, gread * E + geslot, B * E)
+    payload = jnp.stack([g_qb, g_rb, g_qe, g_re, g_score, g_truesc,
+                         g_w, grid, glen, gchain,
+                         glive.astype(jnp.int32)], axis=1)
+    fills = jnp.array([0, 0, 0, 0, -1, -1, opt.w, -1, 0, -1, 0],
+                      jnp.int32)
+    out = jnp.broadcast_to(fills, (B * E + 1, 11)).at[greg].set(
+        payload, mode="drop")[:B * E].reshape(B, E, 11)
+    qb, rb, qe, re = (out[..., i] for i in range(4))
+    score, truesc, sw_w, jrid, jlen, jchain = (
+        out[..., i] for i in range(4, 10))
+    jvalid = out[..., 10] != 0
 
     # ---- seedcov (bwamem.cpp:2962-2972): chain seeds inside the region ----
     sc_q = cb.seed_qbeg[:, None, :]
