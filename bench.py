@@ -83,7 +83,7 @@ def main():
     # the largest reference the reference binary reliably processes)
     n_ref = 40_000 if smoke else 500_000
     L = 151
-    B = 128 if smoke else 1024
+    B = 128 if smoke else int(os.environ.get("FGDP_BENCH_B", 1024))
     print("building index...", file=sys.stderr)
     pref = PackedReference.from_contigs(
         ["chr1"], [rng.integers(0, 4, n_ref).astype(np.uint8)])

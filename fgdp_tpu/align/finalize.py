@@ -598,10 +598,20 @@ def _md_nm(cigar, query, rseq, int2base):
 def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
     """Batched mem_reg2aln over [(codes, reg)] — the per-read DP of
     bwa_gen_cigar2 runs through ksw_global_batch in w2-doubling rounds.
-    Returns aln dicts in job order (exactly matching reg2aln)."""
+    Returns aln dicts in job order (exactly matching reg2aln).
+
+    No-gap fast path: jobs whose query/ref spans are equal-length with
+    initial w2 == 0 (<= 2 mismatches at default scoring) always resolve
+    to a single-M cigar with the matrix-sum score — the w2-doubling loop
+    is a provable no-op for them — so their score/NM/MD are computed in
+    one vectorized padded compare instead of the per-lane machinery
+    (which was the hot spot of host finalize at ~45 us/read)."""
     N = len(jobs)
+    mat = opt.score_matrix()
+    l_pac = pref.l_pac
     alns = []
     lanes = []   # per-lane DP state for mapped regs
+    fast = []    # (idx, reg, query, rseq) no-gap jobs
     for codes, reg in jobs:
         if reg is None or reg["rb"] < 0 or reg["re"] < 0:
             alns.append(dict(flag=0x4, cigar=[], md="", nm=-1, sub=-1,
@@ -610,27 +620,58 @@ def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
             continue
         alns.append(None)
         qb, qe, rb, re = reg["qb"], reg["qe"], reg["rb"], reg["re"]
-        query = np.asarray(codes[qb:qe], np.uint8).copy()
-        rseq = pref.get_seq(rb, re).copy()
+        query = np.asarray(codes[qb:qe], np.uint8)
+        rseq = pref.get_seq(rb, re)
         if len(rseq) != re - rb or len(query) == 0:
             # bridging / out of range: scalar fallback
             alns[-1] = reg2aln(pref, opt, codes, reg)
             continue
-        if rb >= pref.l_pac:
-            query = query[::-1].copy()
-            rseq = rseq[::-1].copy()
+        if rb >= l_pac:
+            query = query[::-1]
+            rseq = rseq[::-1]
         w2 = max(infer_bw(qe - qb, re - rb, reg["truesc"], opt.a,
                           opt.o_del, opt.e_del),
                  infer_bw(qe - qb, re - rb, reg["truesc"], opt.a,
                           opt.o_ins, opt.e_ins))
         if w2 > opt.w:
             w2 = min(w2, reg["w"])
+        if w2 == 0 and qe - qb == re - rb:
+            fast.append((len(alns) - 1, reg, query, rseq, len(codes)))
+            continue
         lanes.append(dict(idx=len(alns) - 1, codes=codes, reg=reg,
-                          query=query, rseq=rseq, w2=w2,
+                          query=np.ascontiguousarray(query),
+                          rseq=np.ascontiguousarray(rseq), w2=w2,
                           last_sc=-(1 << 30), it=0, done=False,
                           score=None, cigar=None))
 
-    mat = opt.score_matrix()
+    # ---- vectorized no-gap batch: score + NM/MD in one compare ----
+    if fast:
+        LM = max(len(q) for _, _, q, _, _ in fast)
+        M = len(fast)
+        qs_f = np.zeros((M, LM), np.uint8)
+        ts_f = np.full((M, LM), 4, np.uint8)   # pad mismatching (masked)
+        for i, (_, _, q, t, _) in enumerate(fast):
+            qs_f[i, :len(q)] = q
+            ts_f[i, :len(t)] = t
+        cols = np.arange(LM)
+        inlen = cols[None, :] < np.array(
+            [len(q) for _, _, q, _, _ in fast])[:, None]
+        mm_rows, mm_cols = np.nonzero((qs_f != ts_f) & inlen)
+        mm_split = np.searchsorted(mm_rows, np.arange(M + 1))
+        for i, (idx, reg, q, t, l_query) in enumerate(fast):
+            ln = len(q)
+            pos_mm = mm_cols[mm_split[i]:mm_split[i + 1]]
+            int2base = "ACGTN" if reg["rb"] < l_pac else "TGCAN"
+            md = []
+            prev = -1
+            for p in pos_mm.tolist():
+                md.append(str(p if prev < 0 else p - prev - 1))
+                md.append(int2base[t[p]])
+                prev = p
+            md.append(str(ln - prev - 1 if prev >= 0 else ln))
+            alns[idx] = _finish_aln(pref, opt, reg, [(0, ln)],
+                                    "".join(md), int(len(pos_mm)),
+                                    l_query)
     # w2-doubling rounds (reg2aln loop, bwamem.cpp:2220-2229)
     for _ in range(5):
         pend = [ln for ln in lanes if not ln["done"]]
@@ -707,43 +748,49 @@ def reg2aln_batch(pref: PackedReference, opt: AlignConfig, jobs):
                 ln["done"] = True
 
     for ln in lanes:
-        reg, codes = ln["reg"], ln["codes"]
-        cigar = ln["cigar"]
-        rb, re, qb, qe = reg["rb"], reg["re"], reg["qb"], reg["qe"]
-        l_query = len(codes)
-        int2base = "ACGTN" if rb < pref.l_pac else "TGCAN"
-        nm, md = _md_nm(cigar, ln["query"], ln["rseq"], int2base)
-        aln = dict(flag=0, cigar=[], md=md, nm=nm, sub=-1, score=-1,
-                   mapq=0, rid=-1, pos=-1, is_rev=False, is_alt=False,
-                   alt_sc=0)
-        aln["mapq"] = approx_mapq(opt, reg) if reg["secondary"] < 0 else 0
-        if reg["secondary"] >= 0:
-            aln["flag"] |= 0x100
-        pos_f, is_rev = pref.depos(rb if rb < pref.l_pac else re - 1)
-        aln["is_rev"] = is_rev
-        if cigar:
-            if cigar[0][0] == 2:
-                pos_f += cigar[0][1]
-                cigar = cigar[1:]
-            elif cigar[-1][0] == 2:
-                cigar = cigar[:-1]
-        if qb != 0 or qe != l_query:
-            clip5 = l_query - qe if is_rev else qb
-            clip3 = qb if is_rev else l_query - qe
-            if clip5:
-                cigar = [(3, clip5)] + cigar
-            if clip3:
-                cigar = cigar + [(3, clip3)]
-        aln["cigar"] = cigar
-        rid = pref.pos2rid(pos_f)
-        aln["rid"] = rid
-        aln["pos"] = int(pos_f - pref.offsets[rid])
-        aln["score"] = reg["score"]
-        aln["sub"] = max(reg["sub"], reg.get("csub", 0))
-        aln["is_alt"] = reg["is_alt"]
-        aln["alt_sc"] = reg.get("alt_sc", 0)
-        alns[ln["idx"]] = aln
+        reg = ln["reg"]
+        int2base = "ACGTN" if reg["rb"] < pref.l_pac else "TGCAN"
+        nm, md = _md_nm(ln["cigar"], ln["query"], ln["rseq"], int2base)
+        alns[ln["idx"]] = _finish_aln(pref, opt, reg, ln["cigar"], md,
+                                      nm, len(ln["codes"]))
     return alns
+
+
+def _finish_aln(pref: PackedReference, opt: AlignConfig, reg, cigar, md,
+                nm, l_query):
+    """Shared aln-dict tail of mem_reg2aln: coordinates, strand, clip
+    ops, mapq (bwamem.cpp:2230-2290). `cigar` is in DP orientation."""
+    rb, re, qb, qe = reg["rb"], reg["re"], reg["qb"], reg["qe"]
+    aln = dict(flag=0, cigar=[], md=md, nm=nm, sub=-1, score=-1,
+               mapq=0, rid=-1, pos=-1, is_rev=False, is_alt=False,
+               alt_sc=0)
+    aln["mapq"] = approx_mapq(opt, reg) if reg["secondary"] < 0 else 0
+    if reg["secondary"] >= 0:
+        aln["flag"] |= 0x100
+    pos_f, is_rev = pref.depos(rb if rb < pref.l_pac else re - 1)
+    aln["is_rev"] = is_rev
+    if cigar:
+        if cigar[0][0] == 2:
+            pos_f += cigar[0][1]
+            cigar = cigar[1:]
+        elif cigar[-1][0] == 2:
+            cigar = cigar[:-1]
+    if qb != 0 or qe != l_query:
+        clip5 = l_query - qe if is_rev else qb
+        clip3 = qb if is_rev else l_query - qe
+        if clip5:
+            cigar = [(3, clip5)] + cigar
+        if clip3:
+            cigar = cigar + [(3, clip3)]
+    aln["cigar"] = cigar
+    rid = pref.pos2rid(pos_f)
+    aln["rid"] = rid
+    aln["pos"] = int(pos_f - pref.offsets[rid])
+    aln["score"] = reg["score"]
+    aln["sub"] = max(reg["sub"], reg.get("csub", 0))
+    aln["is_alt"] = reg["is_alt"]
+    aln["alt_sc"] = reg.get("alt_sc", 0)
+    return aln
 
 
 def _cigar_str(opt, aln, which):

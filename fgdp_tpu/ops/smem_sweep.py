@@ -58,7 +58,7 @@ from .fm import DeviceFMIndex
 from .smem import SeedBatch
 from ..index.reference import packed_window
 
-WALK_T = 32          # chars per text-walk step (phase A and epilogue)
+WALK_T = 64          # chars per text-walk step (phase A and epilogue)
 
 
 # --------------------------------------------------------------------------

@@ -331,29 +331,40 @@ def finalize_pe_batch(pref, opt, names, seq_codes, quals, regs_np, id0):
 
 def _reg_lists_np(pref, opt, seq_codes, regs):
         """Device regs -> per-read dict lists through dedup/patch,
-        sorted by score (mem_sort_dedup_patch output order)."""
+        sorted by score (mem_sort_dedup_patch output order).
+
+        Arrays convert to nested Python lists ONCE (tolist) — per-element
+        numpy scalar indexing was ~3x slower across the hot loop."""
+        B = len(seq_codes)
+        fields = ("rid", "qb", "qe", "rb", "re", "score", "truesc",
+                  "sw_w", "seedcov", "seedlen0")
+        cols = {f: np.asarray(regs[f]).tolist() for f in fields}
+        valid_l = np.asarray(regs["valid"]).tolist()
+        frac_l = np.asarray(regs["frac_rep"]).tolist()
+        is_alt_l = np.asarray(pref.is_alt).tolist()
+        E = len(valid_l[0]) if B else 0
         out = []
-        for b in range(len(seq_codes)):
+        for b in range(B):
+            vb = valid_l[b]
             rl = []
-            for e in range(regs["qb"].shape[1]):
-                if not regs["valid"][b, e]:
+            for e in range(E):
+                if not vb[e]:
                     continue
-                rid = int(regs["rid"][b, e])
+                qb = cols["qb"][b][e]
+                qe = cols["qe"][b][e]
+                if qe <= qb:
+                    continue
+                rid = cols["rid"][b][e]
                 rl.append(dict(
-                    rid=rid, qb=int(regs["qb"][b, e]),
-                    qe=int(regs["qe"][b, e]), rb=int(regs["rb"][b, e]),
-                    re=int(regs["re"][b, e]),
-                    score=int(regs["score"][b, e]),
-                    truesc=int(regs["truesc"][b, e]),
-                    w=int(regs["sw_w"][b, e]),
-                    seedcov=int(regs["seedcov"][b, e]),
-                    seedlen0=int(regs["seedlen0"][b, e]),
-                    frac_rep=float(regs["frac_rep"][b]),
+                    rid=rid, qb=qb, qe=qe, rb=cols["rb"][b][e],
+                    re=cols["re"][b][e], score=cols["score"][b][e],
+                    truesc=cols["truesc"][b][e], w=cols["sw_w"][b][e],
+                    seedcov=cols["seedcov"][b][e],
+                    seedlen0=cols["seedlen0"][b][e],
+                    frac_rep=frac_l[b],
                     sub=0, csub=0, sub_n=0,
-                    is_alt=bool(pref.is_alt[rid]) if rid >= 0
-                    else False,
+                    is_alt=is_alt_l[rid] if rid >= 0 else False,
                 ))
-            rl = [r for r in rl if r["qe"] > r["qb"]]
             codes = np.asarray(seq_codes[b], np.int64)
             rl = finalize.sort_dedup_patch(pref, opt, codes, rl)
             out.append(rl)
