@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..config import AlignConfig
 from ..index.reference import DeviceReference
 from ..ops import sw as swops
+from ..ops.smem_sweep import pack_reads, read_window
 from .chain import ChainBatch
 
 NEG1 = jnp.int32(-1)
@@ -139,7 +140,7 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     crow = ctbl[jnp.clip(gread * C + gchain, 0, B * C - 1)]
     gr0, gr1, grid = crow[:, 0], crow[:, 1], crow[:, 2]
     glens = lens[gread]
-    gcodes = codes[gread]                                  # [J, L]
+
 
     TP = t_max
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -169,14 +170,28 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
         return res, w_used
 
     # ---- left extension: reversed prefixes ----
-    q_left = jnp.take_along_axis(gcodes, jnp.clip(gqb[:, None] - 1 - jj,
-                                                  0, L - 1), axis=1)
-    t_left = dref.fetch_window(grb - TP, TP, reverse=True)
+    # Lanes are run in ascending-extension-length order: the Pallas
+    # kernel's per-256-lane tile exits once every lane is dead (~qlen +
+    # band rows), so one long lane holds its whole tile — sorting makes
+    # tiles homogeneous (most extensions are a few bp; tiles of those
+    # exit in tens of rows instead of ~250). Results scatter back.
     h0 = glen * opt.a
-    do_left = glive & (gqb > 0)
-    rl, wl = run_retry(q_left, jnp.where(do_left, gqb, 0),
-                       t_left, jnp.where(do_left, grb - gr0, 0), h0,
-                       jnp.full(J, -1, jnp.int32), pl)
+    do_left = jnp.asarray(glive & (gqb > 0))
+    qn_l = jnp.where(do_left, gqb, 0)
+    perm_l = jnp.argsort(qn_l).astype(jnp.int32)
+    inv_l = jnp.argsort(perm_l).astype(jnp.int32)
+    gqb_s, grb_s = gqb[perm_l], grb[perm_l]
+    # query windows from packed read words (16 codes per gather row; a
+    # [J, L] take_along_axis is an elementwise gather — J*L rows)
+    rpacked = pack_reads(codes)
+    q_left = read_window(rpacked, gread[perm_l], gqb_s - L,
+                         glens[perm_l], L)[:, ::-1]
+    t_left = dref.fetch_window(grb_s - TP, TP, reverse=True)
+    rl_s, wl_s = run_retry(q_left, qn_l[perm_l],
+                           t_left, jnp.where(do_left, grb - gr0, 0)[perm_l],
+                           h0[perm_l], jnp.full(J, -1, jnp.int32), pl)
+    rl = swops.SWResult(*(x[inv_l] for x in rl_s))
+    wl = wl_s[inv_l]
 
     # apply left results (bwamem.cpp:2952-2961)
     gs_ok = (rl.gscore <= 0) | (rl.gscore <= rl.score - opt.pen_clip5)
@@ -188,16 +203,22 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
     g_truesc = jnp.where(do_left & ~gs_ok, rl.gscore, score_mid)
     g_w = jnp.where(do_left, jnp.maximum(opt.w, wl), opt.w)
 
-    # ---- right extension: suffixes ----
+    # ---- right extension: suffixes (same sorted-lane scheme) ----
     gqe = gqb + glen
-    q_right = jnp.take_along_axis(gcodes, jnp.clip(gqe[:, None] + jj,
-                                                   0, L - 1), axis=1)
     re0 = grb + glen
-    t_right = dref.fetch_window(re0, TP)
-    do_right = glive & (gqe < glens)
-    rr, wr = run_retry(q_right, jnp.where(do_right, glens - gqe, 0),
-                       t_right, jnp.where(do_right, gr1 - re0, 0),
-                       score_mid, score_mid, pr)
+    do_right = jnp.asarray(glive & (gqe < glens))
+    qn_r = jnp.where(do_right, glens - gqe, 0)
+    perm_r = jnp.argsort(qn_r).astype(jnp.int32)
+    inv_r = jnp.argsort(perm_r).astype(jnp.int32)
+    gqe_s = gqe[perm_r]
+    q_right = read_window(rpacked, gread[perm_r], gqe_s,
+                          glens[perm_r], L)
+    t_right = dref.fetch_window(re0[perm_r], TP)
+    rr_s, wr_s = run_retry(q_right, qn_r[perm_r],
+                           t_right, jnp.where(do_right, gr1 - re0, 0)[perm_r],
+                           score_mid[perm_r], score_mid[perm_r], pr)
+    rr = swops.SWResult(*(x[inv_r] for x in rr_s))
+    wr = wr_s[inv_r]
 
     gs_ok_r = (rr.gscore <= 0) | (rr.gscore <= rr.score - opt.pen_clip3)
     g_qe = jnp.where(do_right,

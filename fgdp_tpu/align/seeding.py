@@ -34,7 +34,8 @@ INT32_MAX = jnp.int32(2**31 - 1)
 def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
                   opt: AlignConfig, max_seeds: int, prev_cap: int = 20,
                   k2_per_read: int = 2, lane_emit_cap: int = 16,
-                  use_sweep: bool = True, scale: int = 1) -> SeedBatch:
+                  use_sweep: bool = True, scale: int = 1,
+                  lcp_tree=None, lcp_isa=None) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -59,7 +60,15 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # batch size into the large-N gather plateau (the wave machine is
     # flat in B). use_sweep=False falls back to the wave machine
     # (ops/smem.py), which the sweep is parity-tested against. ---
-    if use_sweep:
+    if lcp_tree is not None:
+        # single-pass LCP-tree engine (ops/smem_lcp.py) — the LISA
+        # all_SMEMs analogue; same SMEM set as the sweep (parity-tested),
+        # ~O(L) extension steps per read in one lane per read
+        from ..ops import smem_lcp as lcpops
+        seeds = lcpops.smem_all_lcp(
+            dfm, lcp_tree, lcp_isa, codes, lens, active,
+            opt.min_seed_len, max_seeds, ref_codes16=dref.codes16)
+    elif use_sweep:
         seeds = sweepops.smem_all_pos_sweep(
             dfm, dref.codes16, codes, lens, jnp.ones(B, jnp.int32),
             active, opt.min_seed_len, max_seeds, prev_cap,

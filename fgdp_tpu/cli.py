@@ -39,6 +39,11 @@ def cmd_index(args):
     RMIndex.build(x, fm.sa).save(args.prefix + ".rmi")
     print(f"[index] RMI learned index built in {time.time()-t0:.1f}s",
           file=sys.stderr)
+    t0 = time.time()
+    from .index.lcptree import LcpTree
+    LcpTree.build(x.astype(np.uint8), fm.sa).save(args.prefix + ".lcp")
+    print(f"[index] LCP-interval tree built in {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
 
 def _mem_opt(args):
@@ -90,7 +95,15 @@ def _load_aligner(prefix, batch, opt=None, output_all=False):
     fm = FMIndex.load(prefix + ".fmi")
     if opt is None:
         opt = AlignConfig(output_all=output_all)
-    return Aligner(pref, fm, opt=opt, shapes=BatchShapes(batch_reads=batch))
+    import os as _os
+    lcp = True                      # build in-process if not on disk
+    if _os.path.exists(prefix + ".lcp.npz"):
+        from .index.lcptree import LcpTree
+        lcp = LcpTree.load(prefix + ".lcp.npz")
+        if lcp.isa is None:         # pre-isa artifact: rebuild
+            lcp = True
+    return Aligner(pref, fm, opt=opt,
+                   shapes=BatchShapes(batch_reads=batch), lcp=lcp)
 
 
 def _read_batches(paths, batch):

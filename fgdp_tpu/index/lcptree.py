@@ -70,6 +70,7 @@ def _lcp_arrays_py(x: np.ndarray, sa: np.ndarray):
 class LcpTree:
     tree: np.ndarray     # int32[nrows+1, 4]: (lcp, left, right, mask)
     nrows: int           # SA rows (= text_len incl sentinel row)
+    isa: np.ndarray = None  # int32[nrows] inverse SA (text pos -> row)
 
     @classmethod
     def build(cls, x: np.ndarray, full_sa: np.ndarray) -> "LcpTree":
@@ -97,12 +98,16 @@ class LcpTree:
             occ_r = np.searchsorted(pos_c, right)
             mask |= (occ_r > occ_l).astype(np.int32) << c
         tree = np.stack([lcp, left, right, mask], axis=1).astype(np.int32)
-        return cls(tree=tree, nrows=nrows)
+        isa = np.zeros(nrows, np.int32)
+        isa[sa] = np.arange(nrows, dtype=np.int32)
+        return cls(tree=tree, nrows=nrows, isa=isa)
 
     def save(self, path: str):
-        np.savez(path, tree=self.tree, nrows=np.int64(self.nrows))
+        np.savez(path, tree=self.tree, nrows=np.int64(self.nrows),
+                 isa=self.isa)
 
     @classmethod
     def load(cls, path: str) -> "LcpTree":
         z = np.load(path)
-        return cls(tree=z["tree"], nrows=int(z["nrows"]))
+        isa = z["isa"] if "isa" in z.files else None
+        return cls(tree=z["tree"], nrows=int(z["nrows"]), isa=isa)

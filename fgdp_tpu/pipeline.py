@@ -26,11 +26,13 @@ from .ops.fm import DeviceFMIndex
 
 
 def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
-                 active, opt: AlignConfig, shapes: BatchShapes):
+                 active, opt: AlignConfig, shapes: BatchShapes,
+                 lcp_tree=None, lcp_isa=None):
     """codes int32[B, L] -> AlnRegBatch (jit-able)."""
     seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
                           max_seeds=shapes.max_smems, prev_cap=20,
-                          scale=shapes.seed_scale)
+                          scale=shapes.seed_scale,
+                          lcp_tree=lcp_tree, lcp_isa=lcp_isa)
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,
                               max_chains=shapes.max_chains)
@@ -82,12 +84,27 @@ class Aligner:
 
     def __init__(self, pref: PackedReference, fm: FMIndex,
                  opt: AlignConfig | None = None,
-                 shapes: BatchShapes | None = None):
+                 shapes: BatchShapes | None = None,
+                 lcp: "LcpTree | bool | None" = True):
         self.pref = pref
         self.opt = opt or AlignConfig()
         self.shapes = shapes or BatchShapes()
         self.dref = DeviceReference(pref)
         self.dfm = DeviceFMIndex.from_host(fm)
+        # K1 seeding engine: the LCP-tree single-pass machine by default
+        # (lcp=True builds the tree from the index's SA; pass a loaded
+        # LcpTree to skip the build, or lcp=None/False for the sweep)
+        if lcp is True:
+            from .index.lcptree import LcpTree
+            from .utils import dna
+            x = np.concatenate([pref.codes,
+                                dna.revcomp(pref.codes)]).astype(np.uint8)
+            lcp = LcpTree.build(x, fm.sa)
+        if lcp:
+            self.lcp_tree = jnp.asarray(lcp.tree)
+            self.lcp_isa = jnp.asarray(lcp.isa)
+        else:
+            self.lcp_tree = self.lcp_isa = None
         # host-only output options don't shape the device program; pin
         # them to defaults in the jit key so e.g. -a reuses the cache
         import dataclasses as _dc
@@ -160,7 +177,9 @@ class Aligner:
         phase = "MEM_DEVICE" if self._warm else "JIT_COMPILE"
         with PROF.phase(phase):
             regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
-                            jnp.asarray(lens), jnp.ones(B, bool))
+                            jnp.asarray(lens), jnp.ones(B, bool),
+                            lcp_tree=self.lcp_tree,
+                            lcp_isa=self.lcp_isa)
         self._warm = True
         # start the device->host copies now: they complete behind the
         # next batches' compute, so _regs_to_np's np.asarray is a wait,
@@ -227,7 +246,8 @@ class Aligner:
                 lens[j] = n
                 active[j] = True
             sub = fn(self.dfm, self.dref, jnp.asarray(codes),
-                     jnp.asarray(lens), jnp.asarray(active))
+                     jnp.asarray(lens), jnp.asarray(active),
+                     lcp_tree=self.lcp_tree, lcp_isa=self.lcp_isa)
             sub_np = {k: np.asarray(v) for k, v in sub._asdict().items()}
             E_new = sub_np["valid"].shape[1]
             E_cur = regs_np["valid"].shape[1]

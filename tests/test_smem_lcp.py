@@ -26,11 +26,14 @@ def world():
     dfm = DeviceFMIndex.from_host(fm)
     x = np.concatenate([ref, dna.revcomp(ref)]).astype(np.uint8)
     lt = LcpTree.build(x, fm.sa)
-    return rng, ref, fm, dfm, lt
+    from fgdp_tpu.index.reference import DeviceReference, PackedReference
+    pref = PackedReference.from_contigs(["chr1"], [ref])
+    dref = DeviceReference(pref)
+    return rng, ref, fm, dfm, lt, dref
 
 
 def test_native_lcp_matches_python(world):
-    _, ref, fm, _, _ = world
+    _, ref, fm, _, _, _ = world
     x = np.concatenate([ref, dna.revcomp(ref)]).astype(np.uint8)
     out = native.lcp_tree_arrays(x, fm.sa)
     if out is None:
@@ -42,7 +45,7 @@ def test_native_lcp_matches_python(world):
 def test_lcp_interval_semantics(world):
     """Spot-check tree rows: [left, right) is the smallest lcp-interval
     strictly containing the boundary, depth = lcp, mask = extendability."""
-    rng, ref, fm, _, lt = world
+    rng, ref, fm, _, lt, _ = world
     x = np.concatenate([ref, dna.revcomp(ref)]).astype(np.uint8)
     n = len(x)
     sa = fm.sa
@@ -78,13 +81,14 @@ def test_lcp_interval_semantics(world):
 
 @pytest.mark.parametrize("min_seed_len", [1, 17])
 def test_lcp_smem_matches_scalar_oracle(world, min_seed_len):
-    rng, ref, fm, dfm, lt = world
+    rng, ref, fm, dfm, lt, dref = world
     reads = make_reads(rng, ref, n_reads=32, L=48)
     B, L = reads.shape
     seeds = smem_lcp.smem_all_lcp(
-        dfm, jnp.asarray(lt.tree), jnp.asarray(reads, jnp.int32),
+        dfm, jnp.asarray(lt.tree), jnp.asarray(lt.isa),
+        jnp.asarray(reads, jnp.int32),
         jnp.full(B, L, jnp.int32), jnp.ones(B, bool),
-        min_seed_len, max_seeds=96)
+        min_seed_len, max_seeds=96, ref_codes16=dref.codes16)
     got = seeds_to_sets(seeds, B, fm)
     assert not bool(np.asarray(seeds.overflow).any())
     for b in range(B):
@@ -94,15 +98,17 @@ def test_lcp_smem_matches_scalar_oracle(world, min_seed_len):
 
 
 def test_lcp_smem_short_and_empty_reads(world):
-    rng, ref, fm, dfm, lt = world
+    rng, ref, fm, dfm, lt, dref = world
     reads = np.full((4, 16), 4, np.uint8)
     reads[1, :3] = ref[10:13]
     reads[2] = np.concatenate([ref[100:108], [4], ref[200:207]])
     lens = np.array([0, 3, 16, 16], np.int32)
     reads[3, :16] = ref[50:66]
     seeds = smem_lcp.smem_all_lcp(
-        dfm, jnp.asarray(lt.tree), jnp.asarray(reads, jnp.int32),
-        jnp.asarray(lens), jnp.ones(4, bool), 1, max_seeds=64)
+        dfm, jnp.asarray(lt.tree), jnp.asarray(lt.isa),
+        jnp.asarray(reads, jnp.int32),
+        jnp.asarray(lens), jnp.ones(4, bool), 1, max_seeds=64,
+        ref_codes16=dref.codes16)
     got = seeds_to_sets(seeds, 4, fm)
     for b in range(4):
         ref_out = oracles.smem_all_pos_ref(fm, reads[b][:lens[b]], 1, 1)
