@@ -83,13 +83,18 @@ def main():
     # the largest reference the reference binary reliably processes)
     n_ref = 40_000 if smoke else 500_000
     L = 151
-    B = 128 if smoke else int(os.environ.get("FGDP_BENCH_B", 1024))
+    B = 128 if smoke else int(os.environ.get("FGDP_BENCH_B", 4096))
     print("building index...", file=sys.stderr)
     pref = PackedReference.from_contigs(
         ["chr1"], [rng.integers(0, 4, n_ref).astype(np.uint8)])
     fm = FMIndex.build(pref.codes)
     dfm = DeviceFMIndex.from_host(fm)
     dref = DeviceReference(pref)
+    from fgdp_tpu.index.lcptree import LcpTree
+    from fgdp_tpu.utils import dna
+    lt = LcpTree.build(
+        np.concatenate([pref.codes, dna.revcomp(pref.codes)])
+        .astype(np.uint8), fm.sa)
     shapes = BatchShapes(read_len=L, batch_reads=B)
     opt = AlignConfig()
 
@@ -98,7 +103,10 @@ def main():
     # every timed iteration must use distinct inputs. Dispatches are
     # pipelined (async) and synced once at the end — matching a streaming
     # aligner, which always has the next chunk in flight.
-    fn = jax.jit(functools.partial(device_align, opt=opt, shapes=shapes))
+    fn0 = jax.jit(functools.partial(device_align, opt=opt, shapes=shapes))
+    tree_d, isa_d = jnp.asarray(lt.tree), jnp.asarray(lt.isa)
+    fn = lambda dfm, dref, c, lens, act: fn0(
+        dfm, dref, c, lens, act, lcp_tree=tree_d, lcp_isa=isa_d)
     n_iter = 8
     batches = []
     for it in range(n_iter + 1):

@@ -67,7 +67,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         from ..ops import smem_lcp as lcpops
         seeds = lcpops.smem_all_lcp(
             dfm, lcp_tree, lcp_isa, codes, lens, active,
-            opt.min_seed_len, max_seeds, ref_codes16=dref.codes16)
+            opt.min_seed_len, max_seeds, ref_codes16=dref.codes16,
+            max_rounds=24 * scale)
     elif use_sweep:
         seeds = sweepops.smem_all_pos_sweep(
             dfm, dref.codes16, codes, lens, jnp.ones(B, jnp.int32),

@@ -49,12 +49,19 @@ MODE_WALK = 3    # single-suffix text walk (s == 1)
 
 def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
                  min_seed_len: int, max_seeds: int,
-                 ref_codes16) -> SeedBatch:
+                 ref_codes16, max_rounds: int = 24) -> SeedBatch:
     """tree: int32[nrows+1, 4] (lcp, left, right, mask) and isa:
     int32[nrows] inverse SA from index/lcptree.py; codes int32[B, L];
     ref_codes16 the packed reference words (DeviceReference.codes16).
     Returns the read's SMEMs of length >= min_seed_len as a SeedBatch
-    (m, n inclusive, k, s), unordered."""
+    (m, n inclusive, k, s), unordered.
+
+    Straggler control: each wave exits once its mode's population drops
+    to 1/8 of the live lanes (leftovers ride the next round — a lone
+    deep read must not hold 4k lanes' full-width gathers), and reads
+    still live after `max_rounds` rounds flag overflow and are re-run
+    by the host escalation ladder (pipeline._retry_overflow) with a
+    doubled round budget."""
     B, L = codes.shape
     N = tree.shape[0] - 1            # SA rows
     lens = lens.astype(jnp.int32)
@@ -71,6 +78,59 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
              .astype(jnp.int32),
         seeds=_empty_seeds(B, max_seeds),
     )
+
+    def make_phase(rid, lens_l, round_cap):
+        return _lcp_phase(fm, tree, isa, codes, rpacked, ref_codes16,
+                          rid, lens_l, msl, N, l2ref, round_cap)
+
+    # Straggler-compaction cascade: the bulk of reads finishes in a few
+    # rounds; the tail (reads with many mismatch-shrink event cycles)
+    # must not keep paying full-B-width gathers per wave step. After
+    # each bounded phase, live lanes compact (stable) into a machine a
+    # quarter the width, seeds rows riding along.
+    rounds = (10, 14, max_rounds)
+    st = make_phase(rid, lens, rounds[0])(st)
+    cur_rid = rid
+    dropped = jnp.zeros(B, bool)
+    for level, rcap in enumerate(rounds[1:], start=1):
+        NC = max(B >> (2 * level - 1), 8)   # B/2, then B/8
+        live = st["mode"] != MODE_DEAD
+        if int(live.shape[0]) <= NC:
+            st = make_phase(cur_rid, lens[cur_rid], rcap)(st)
+            continue
+        perm = jnp.argsort(~live, stable=True).astype(jnp.int32)
+        keep, rest = perm[:NC], perm[NC:]
+        dropped = dropped.at[cur_rid[rest]].max(live[rest], mode="drop")
+        sub = {f: st[f][keep] for f in ("l", "r", "lo", "hi", "pos",
+                                        "mode")}
+        sub["mode"] = jnp.where(live[keep], sub["mode"], MODE_DEAD)
+        sub["seeds"] = jax.tree_util.tree_map(lambda a: a[keep],
+                                              st["seeds"])
+        sub_rid = cur_rid[keep]
+        sub = make_phase(sub_rid, lens[sub_rid], rcap)(sub)
+        nst = {f: st[f].at[keep].set(sub[f])
+               for f in ("l", "r", "lo", "hi", "pos", "mode")}
+        nst["seeds"] = jax.tree_util.tree_map(
+            lambda a, b: a.at[keep].set(b), st["seeds"], sub["seeds"])
+        # lanes dropped from the sub machine keep their old (live) mode
+        nst["mode"] = nst["mode"].at[rest].set(
+            jnp.where(live[rest], st["mode"][rest], MODE_DEAD))
+        st = nst
+
+    # reads still live at the cascade end flag for the host escalation
+    # ladder (pipeline._retry_overflow), which re-runs them with a
+    # scaled round budget
+    unfinished = jnp.zeros(B, bool).at[cur_rid].max(
+        st["mode"] != MODE_DEAD, mode="drop")
+    seeds = st["seeds"]
+    return seeds._replace(
+        overflow=seeds.overflow | unfinished | dropped)
+
+
+def _lcp_phase(fm, tree, isa, codes, rpacked, ref_codes16, rid, lens_l,
+               msl, N, l2ref, round_cap):
+    """One bounded run of the EXT/WALK/SHR wave alternation over the
+    lanes `rid` (reads rid[i]; per-lane state arrays index i)."""
 
     def ext_body(st):
         l, r, lo, hi = st["l"], st["r"], st["lo"], st["hi"]
@@ -89,7 +149,6 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
         # ambiguous char): pre-state [l, r) with interval [lo, hi)
         emit1 = (at_end | stuck1 | bad1) & (r - l >= msl)
         seeds = st["seeds"]
-        seeds = _append_seed(seeds, emit1, l, r - 1, lo, s)
         empty1 = r == l
         skip1 = bad1 | (stuck1 & empty1)       # restart left of the char
         to_shr1 = stuck1 & ~empty1
@@ -108,7 +167,12 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
         ok2 = try2 & (s2 > 0)
         stuck2 = try2 & ~(s2 > 0)
         emit2 = (at_end2 | stuck2 | bad2) & (r - l1x >= msl)
-        seeds = _append_seed(seeds, emit2, l1x, r - 1, k1, s1)
+        # step-1 and step-2 emissions are mutually exclusive (emit2
+        # requires ok1, emit1 requires not): one fused append
+        seeds = _append_seed(seeds, emit1 | emit2,
+                             jnp.where(emit2, l1x, l), r - 1,
+                             jnp.where(emit2, k1, lo),
+                             jnp.where(emit2, s1, s))
         skip2 = bad2
         to_shr2 = stuck2
         l2x = jnp.where(ok2 | skip2, l1x - 1, l1x)
@@ -134,7 +198,8 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
         pos = jnp.where(act & (st["pos"] < 0),
                         fmops.sa_lookup(fm, st["lo"]), st["pos"])
         # compare q[l-1-j] vs text[pos-1-j], j = 0..WALK_T-1
-        rb = read_window(rpacked, rid, l - WALK_T, lens, WALK_T)[:, ::-1]
+        rb = read_window(rpacked, rid, l - WALK_T, lens_l,
+                         WALK_T)[:, ::-1]
         tb = packed_window(ref_codes16, l2ref, pos - WALK_T, WALK_T,
                            reverse=True)
         okw = (rb == tb) & (rb < 4) & (tb < 4)
@@ -151,7 +216,7 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
         mism = stop & ~at_start & ~badchar         # mismatch / text end
         emit = stop & (r - l2 >= msl)
         seeds = _append_seed(st["seeds"], emit, l2, r - 1, -pos2 - 2,
-                             jnp.ones(B, jnp.int32))
+                             jnp.ones_like(l2))
         # mism lanes re-enter row space at the single suffix's SA row
         loI = jnp.take(isa, jnp.clip(pos2, 0, N - 1), mode="clip")
         new_l = jnp.where(act, jnp.where(badchar, l2 - 1, l2), l)
@@ -187,18 +252,28 @@ def smem_all_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens, active,
                     mode=mode.astype(jnp.int32), seeds=st["seeds"])
 
     def wave(m, body):
-        return lambda st: jax.lax.while_loop(
-            lambda s_: jnp.any(s_["mode"] == m), body, st)
+        def run(st):
+            def cond(s_):
+                cm = jnp.sum((s_["mode"] == m).astype(jnp.int32))
+                live = jnp.sum((s_["mode"] != MODE_DEAD)
+                               .astype(jnp.int32))
+                return cm > (live >> 3)
+            return jax.lax.while_loop(cond, body, st)
+        return run
 
     ext_w, walk_w, shr_w = (wave(MODE_EXT, ext_body),
                             wave(MODE_WALK, walk_body),
                             wave(MODE_SHR, shr_body))
 
-    def outer_cond(st):
-        return jnp.any(st["mode"] != MODE_DEAD)
+    def outer_cond(c):
+        rnd, st = c
+        return (rnd < round_cap) & jnp.any(st["mode"] != MODE_DEAD)
 
-    def outer_body(st):
-        return shr_w(walk_w(ext_w(st)))
+    def outer_body(c):
+        rnd, st = c
+        return rnd + 1, shr_w(walk_w(ext_w(st)))
 
-    st = jax.lax.while_loop(outer_cond, outer_body, st)
-    return st["seeds"]
+    def run(st):
+        return jax.lax.while_loop(outer_cond, outer_body,
+                                  (jnp.int32(0), st))[1]
+    return run

@@ -91,5 +91,45 @@ def main():
               f"  [c {tc:.0f}s]", file=sys.stderr)
 
 
+# overflow-rate check (run via PROF_OVF=1)
+def ovf_check():
+    import jax, jax.numpy as jnp
+    from fgdp_tpu.config import AlignConfig, BatchShapes
+    from fgdp_tpu.index.fmindex import FMIndex
+    from fgdp_tpu.index.lcptree import LcpTree
+    from fgdp_tpu.index.reference import DeviceReference, PackedReference
+    from fgdp_tpu.ops import smem_lcp as lcpops
+    from fgdp_tpu.ops.fm import DeviceFMIndex
+    from fgdp_tpu.utils import dna
+    rng = np.random.default_rng(7)
+    n_ref = int(os.environ.get("PROF_NREF", 500_000))
+    L, B = 151, int(os.environ.get("PROF_B", 4096))
+    ref_rng = np.random.default_rng(0)
+    pref = PackedReference.from_contigs(
+        ["chr1"], [ref_rng.integers(0, 4, n_ref).astype(np.uint8)])
+    fm = FMIndex.build(pref.codes)
+    dfm = DeviceFMIndex.from_host(fm)
+    dref = DeviceReference(pref)
+    x = np.concatenate([pref.codes, dna.revcomp(pref.codes)]).astype(np.uint8)
+    lt = LcpTree.build(x, fm.sa)
+    opt = AlignConfig()
+    pos = rng.integers(0, n_ref - L, B)
+    c = np.stack([pref.codes[p:p + L] for p in pos]).astype(np.int32)
+    m = rng.random(c.shape) < 0.01
+    c = np.where(m, rng.integers(0, 4, c.shape), c)
+    rc = rng.random(B) < 0.5
+    c = np.where(rc[:, None], 3 - c[:, ::-1], c)
+    for rounds in (12, 16, 24, 32):
+        sd = lcpops.smem_all_lcp(
+            dfm, jnp.asarray(lt.tree), jnp.asarray(lt.isa),
+            jnp.asarray(c), jnp.full(B, L, jnp.int32), jnp.ones(B, bool),
+            opt.min_seed_len, 160, ref_codes16=dref.codes16,
+            max_rounds=rounds)
+        print(f"rounds={rounds}: overflow {int(np.asarray(sd.overflow).sum())}/{B}",
+              file=sys.stderr)
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROF_OVF") == "1":
+        ovf_check()
+    else:
+        main()
