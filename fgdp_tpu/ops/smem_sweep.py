@@ -128,7 +128,7 @@ def _read_base_at(codes, rid, j):
 
 def fwd_sweep(fm: DeviceFMIndex, codes, lens, rid, x0, min_intv, active,
               prev_cap: int, entry_cap: int, ref_codes16,
-              restart: bool = True):
+              restart: bool = True, walk: bool = True):
     """Forward phase of getSMEMsOnePosOneThread over NL lanes, anchors
     self-restarting (restart=True: K1 sweeps every anchor of the read;
     False: one anchor per lane — the K2 shape).
@@ -205,28 +205,37 @@ def fwd_sweep(fm: DeviceFMIndex, codes, lens, rid, x0, min_intv, active,
         # a single-suffix interval is invariant under matching forward
         # extension (no pushes until the match ends) — resolve by direct
         # text comparison, WALK_T chars per step (smem.py _fwd_phase
-        # epilogue semantics, moved in-loop so the lane can restart)
-        walk = run & (st["s"] == 1)
-        pos = fmops.sa_lookup(fm, st["k"])          # q[x] text position
-        tb = packed_window(ref_codes16, 2 * fm.n_ref,
-                           pos + (j - st["x"]), WALK_T)
-        rb = read_window(rpacked, rid, j, lens_l, WALK_T)
-        okw = (rb == tb) & (rb < 4) & (tb < 4)
-        hasbad = jnp.any(~okw, axis=1)
-        d = jnp.where(hasbad, jnp.argmax(~okw, axis=1), WALK_T)\
-            .astype(jnp.int32)
-        jd = j + d
-        n_w = jd - 1                                 # last matched char
-        w_stop = walk & hasbad
-        rb_d = jnp.take_along_axis(
-            rb, jnp.clip(d, 0, WALK_T - 1)[:, None], axis=1)[:, 0]
-        w_end = w_stop & (jd >= lens_l)              # ran off the read
-        w_amb = w_stop & ~w_end & (rb_d >= 4)        # read N: no push
-        w_mis = w_stop & ~w_end & ~w_amb             # mismatch/text end
-        # in-loop death push of the pre-state (x, n, k, 1) — the wave
-        # machine's push_c (smem.py _fwd_phase epilogue)
-        st = push(st, w_mis, st["x"], n_w, st["k"], st["s"])
-        n2 = jnp.where(walk, n_w, st["n"])
+        # epilogue semantics, moved in-loop so the lane can restart).
+        # Callers whose min_intv is always >= 2 (K2: min_intv = occ + 1)
+        # pass walk=False: intervals die before reaching s == 1, so the
+        # branch's ~11 gather rows/lane/step are dead weight there.
+        if walk:
+            walkm = run & (st["s"] == 1)
+            pos = fmops.sa_lookup(fm, st["k"])       # q[x] text position
+            tb = packed_window(ref_codes16, 2 * fm.n_ref,
+                               pos + (j - st["x"]), WALK_T)
+            rb = read_window(rpacked, rid, j, lens_l, WALK_T)
+            okw = (rb == tb) & (rb < 4) & (tb < 4)
+            hasbad = jnp.any(~okw, axis=1)
+            d = jnp.where(hasbad, jnp.argmax(~okw, axis=1), WALK_T)\
+                .astype(jnp.int32)
+            jd = j + d
+            n_w = jd - 1                             # last matched char
+            w_stop = walkm & hasbad
+            rb_d = jnp.take_along_axis(
+                rb, jnp.clip(d, 0, WALK_T - 1)[:, None], axis=1)[:, 0]
+            w_end = w_stop & (jd >= lens_l)          # ran off the read
+            w_amb = w_stop & ~w_end & (rb_d >= 4)    # read N: no push
+            w_mis = w_stop & ~w_end & ~w_amb         # mismatch/text end
+            # in-loop death push of the pre-state (x, n, k, 1) — the
+            # wave machine's push_c (smem.py _fwd_phase epilogue)
+            st = push(st, w_mis, st["x"], n_w, st["k"], st["s"])
+            n2 = jnp.where(walkm, n_w, st["n"])
+        else:
+            walkm = jnp.zeros_like(run)
+            jd = j
+            w_stop = w_end = w_amb = w_mis = walkm
+            n2 = st["n"]
 
         # ================= occ branch (s > 1): two-step ==============
         occ = run & (st["s"] > 1)
@@ -564,14 +573,17 @@ def smem_lanes_sweep(fm: DeviceFMIndex, dref_codes16, codes, lens, ridx,
                      x, min_intv, active, min_seed_len: int,
                      prev_cap: int, B: int, max_seeds: int,
                      into: SeedBatch | None = None,
-                     entry_cap: int = 0, bwd_mult: int = 0):
+                     entry_cap: int = 0, bwd_mult: int = 0,
+                     walk: bool = True):
     """K2 v2: one anchor per lane (smem_one_pos_lanes semantics), merged
     straight into per-read SeedBatch buffers in (read, lane) order.
-    Lanes must arrive sorted by (read, job order). Returns SeedBatch."""
+    Lanes must arrive sorted by (read, job order). Returns SeedBatch.
+    Pass walk=False when every lane's min_intv >= 2 (intervals then die
+    before s == 1, so the fwd text-walk branch is dead weight)."""
     NJ = ridx.shape[0]
     E = entry_cap or (prev_cap + 2)
     fw = fwd_sweep(fm, codes, lens, ridx, x, min_intv, active,
-                   prev_cap, E, dref_codes16, restart=False)
+                   prev_cap, E, dref_codes16, restart=False, walk=walk)
     NL_OUT = NJ * (bwd_mult or E)
     lanes, drop_ovf = flatten_entries(fw, ridx, min_intv, E, NL_OUT)
     # remap: flatten gives rid per source LANE; group key must separate
