@@ -527,12 +527,13 @@ class Mutect2Engine:
                 return None
 
         # CNN gate ("deep" mode): dense regions the classifier deems
-        # germline/noise are skipped wholesale (main.cpp:213-221)
+        # germline/noise are skipped wholesale (main.cpp:213-221);
+        # per-region variant scan with padded-window skip
+        # (model.cpp:435-500)
         if self.cnn is not None and len(t_reads) > 100:
-            for (pos, _, _) in sorted(all_events):
-                if self.cnn.is_germline_or_noise(self.ref, t_reads,
-                                                 n_reads, pos):
-                    return None
+            if self.cnn.gate_region(self.ref, t_reads, n_reads,
+                                    [pos for (pos, _, _) in all_events]):
+                return None
         return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
                     n_reads=n_reads, haps=haps, hap_bases=hap_bases,
                     hap_events=hap_events, all_events=all_events,

