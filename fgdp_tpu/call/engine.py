@@ -358,22 +358,159 @@ def _annotate_event(pos, ref_a, alt_a, tm, nm, t_reads, n_reads):
                 tumor_fmt=t_fmt, normal_fmt=n_fmt)
 
 
+def _prepare_region_impl(ref, cfg, cnn, reg, t_reads, n_reads):
+    """Pure-host region prep (assembly + trim + gate): module-level
+    so RegionPool workers can run it (the reference's N-thread
+    region scheduler, main.cpp:195-307 — assembly is pure Python
+    and the caller's Amdahl wall without it)."""
+    span = (reg.padded_start, reg.padded_end)
+    ref_seg = ref[span[0]:span[1]].astype(np.uint8)
+    if not t_reads:
+        return None
+    for rd in t_reads:
+        rd.setdefault("sample", "tumor")
+    for rd in n_reads:
+        rd.setdefault("sample", "normal")
+    haps = assembly.assemble_region(ref_seg, t_reads + n_reads,
+                                    kmer_sizes=cfg.kmer_sizes)
+    if len(haps) <= 1:
+        return None
+    hap_bases = [h.bases for h in haps]
+    # one hap->ref alignment per haplotype, shared by event
+    # extraction and read realignment
+    hap_cigars = [None if h.is_ref else
+                  genotype.haplotype_cigar(h.bases, ref_seg)
+                  for h in haps]
+    hap_events = [[] if h.is_ref else
+                  genotype.haplotype_events(h.bases, ref_seg, span[0],
+                                            cigar=hap_cigars[i])
+                  for i, h in enumerate(haps)]
+    all_events = {}
+    for evs in hap_events:
+        for e in evs:
+            if reg.start <= e.pos < reg.end:
+                all_events[(e.pos, e.ref, e.alt)] = e
+    if not all_events:
+        return None
+
+    # AssemblyRegionTrimmer (AssemblyRegionTrimmer.cpp:31-84,
+    # Mutect2Engine.cpp:190-199): shrink the region to the variation
+    # span + padding, trim haplotypes and hard-clip reads to it
+    from . import trimming
+    flat_events = [(e.pos, e.ref, e.alt)
+                   for evs in hap_events for e in evs]
+    tr = trimming.trimmed_span(reg.start, reg.end, flat_events,
+                               len(ref))
+    if tr is None:
+        return None
+    w0 = max(tr[0], span[0])
+    w1 = min(tr[1], span[1])
+    hap_roff = [span[0]] * len(haps)
+    if (w0, w1) != span and w0 < w1:
+        new_ref_seg = ref[w0:w1].astype(np.uint8)
+        new_bases, new_cigars, hap_roff = [], [], []
+        for i, h in enumerate(haps):
+            if h.is_ref or hap_cigars[i] is None:
+                new_bases.append(new_ref_seg)
+                new_cigars.append(None)
+                hap_roff.append(w0)
+                continue
+            out = trimming.clip_to_window(hap_bases[i], None,
+                                          hap_cigars[i], span[0],
+                                          w0, w1)
+            if out is None:        # no aligned hap base in window
+                new_bases.append(new_ref_seg)
+                new_cigars.append(None)
+                hap_roff.append(w0)
+                continue
+            b2, _, p2, c2 = out
+            new_bases.append(b2)
+            new_cigars.append(c2)
+            hap_roff.append(p2)
+        hap_bases, hap_cigars = new_bases, new_cigars
+        ref_seg = new_ref_seg
+        span = (w0, w1)
+        t_reads = [r2 for r in t_reads
+                   if (r2 := trimming.clip_read_to_window(r, w0, w1))
+                   is not None]
+        n_reads = [r2 for r in n_reads
+                   if (r2 := trimming.clip_read_to_window(r, w0, w1))
+                   is not None]
+        if not t_reads:
+            return None
+
+    # CNN gate ("deep" mode): dense regions the classifier deems
+    # germline/noise are skipped wholesale (main.cpp:213-221);
+    # per-region variant scan with padded-window skip
+    # (model.cpp:435-500)
+    if cnn is not None and len(t_reads) > 100:
+        if cnn.gate_region(ref, t_reads, n_reads,
+                           [pos for (pos, _, _) in all_events]):
+            return None
+    return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
+                n_reads=n_reads, haps=haps, hap_bases=hap_bases,
+                hap_events=hap_events, all_events=all_events,
+                hap_cigars=hap_cigars, hap_roff=hap_roff)
+
+
+_REGION_CTX = {}
+
+
+def _region_worker_init(ref, cfg, cnn_path):
+    _REGION_CTX["ref"] = ref
+    _REGION_CTX["cfg"] = cfg
+    cnn = None
+    if cnn_path:
+        from .cnn_filter import CnnFilter
+        cnn = CnnFilter(cnn_path)
+    _REGION_CTX["cnn"] = cnn
+
+
+def _region_worker_prepare(reg, t_reads, n_reads):
+    return _prepare_region_impl(_REGION_CTX["ref"], _REGION_CTX["cfg"],
+                                _REGION_CTX["cnn"], reg, t_reads,
+                                n_reads)
+
+
 class Mutect2Engine:
     def __init__(self, ref_codes, contig_name, cfg: CallConfig | None = None,
                  emission_log10_odds=DEFAULT_EMISSION_LOG10_ODDS,
                  normal_log10_odds=DEFAULT_NORMAL_LOG10_ODDS,
-                 cnn_model_path=None):
+                 cnn_model_path=None, region_workers: int = 0):
         self.ref = np.asarray(ref_codes, np.uint8)
         self.contig = contig_name
         self.cfg = cfg or CallConfig()
         self.emission = emission_log10_odds
         self.normal_odds = normal_log10_odds
         self.cnn = None
+        self._cnn_path = cnn_model_path
         if cnn_model_path:
             from .cnn_filter import CnnFilter
             self.cnn = CnnFilter(cnn_model_path)
         from .pcr_model import pcr_indel_cache
         self._pcr_cache = pcr_indel_cache(self.cfg.pcr_error_model)
+        # host-side region worker pool (the reference's N-thread region
+        # scheduler, main.cpp:195-307): assembly/trim/gate are pure
+        # Python — fan them out while the main process runs activity
+        # profiling and drives the device PairHMM pipeline
+        self.region_workers = region_workers
+        self._region_pool = None
+
+    def _get_region_pool(self):
+        if self._region_pool is None and self.region_workers > 0:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            self._region_pool = ProcessPoolExecutor(
+                self.region_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_region_worker_init,
+                initargs=(self.ref, self.cfg, self._cnn_path))
+        return self._region_pool
+
+    def close(self):
+        if self._region_pool is not None:
+            self._region_pool.shutdown()
+            self._region_pool = None
 
 
     def call(self, tumor_reads, normal_reads=()):
@@ -413,6 +550,19 @@ class Mutect2Engine:
         import collections
         DEPTH = 3
         pending = collections.deque()
+        pool = self._get_region_pool()
+        prep_q = collections.deque()
+        AHEAD = max(2 * self.region_workers, 1)
+
+        def drain(force):
+            while prep_q and (force or len(prep_q) > AHEAD
+                              or prep_q[0].done()):
+                prep = prep_q.popleft().result()
+                if prep is not None:
+                    pending.append((prep, self._dispatch_region(prep)))
+                while len(pending) >= DEPTH:
+                    calls.extend(self._finish_region(*pending.popleft()))
+
         for rstart, rend, t_index, n_index in windows:
             t_reads = t_index.span(rstart, rend)
             if not t_reads:
@@ -434,11 +584,19 @@ class Mutect2Engine:
             for reg in regions:
                 if not reg.is_active:
                     continue
+                if pool is not None:
+                    span = (reg.padded_start, reg.padded_end)
+                    prep_q.append(pool.submit(
+                        _region_worker_prepare, reg,
+                        t_index.span(*span), n_index.span(*span)))
+                    drain(False)
+                    continue
                 prep = self._prepare_region(reg, t_index, n_index)
                 if prep is not None:
                     pending.append((prep, self._dispatch_region(prep)))
                 while len(pending) >= DEPTH:
                     calls.extend(self._finish_region(*pending.popleft()))
+        drain(True)
         while pending:
             calls.extend(self._finish_region(*pending.popleft()))
         calls.sort(key=lambda c: c.pos)
@@ -447,97 +605,12 @@ class Mutect2Engine:
     def _prepare_region(self, reg, t_index, n_index):
         """Host stage: reads, assembly, events, CNN gate. Returns the
         region context dict or None when nothing to call."""
-        cfg = self.cfg
         span = (reg.padded_start, reg.padded_end)
-        ref_seg = self.ref[span[0]:span[1]].astype(np.uint8)
         t_reads = t_index.span(*span)
         n_reads = n_index.span(*span)
-        if not t_reads:
-            return None
-        for rd in t_reads:
-            rd.setdefault("sample", "tumor")
-        for rd in n_reads:
-            rd.setdefault("sample", "normal")
-        haps = assembly.assemble_region(ref_seg, t_reads + n_reads,
-                                        kmer_sizes=cfg.kmer_sizes)
-        if len(haps) <= 1:
-            return None
-        hap_bases = [h.bases for h in haps]
-        # one hap->ref alignment per haplotype, shared by event
-        # extraction and read realignment
-        hap_cigars = [None if h.is_ref else
-                      genotype.haplotype_cigar(h.bases, ref_seg)
-                      for h in haps]
-        hap_events = [[] if h.is_ref else
-                      genotype.haplotype_events(h.bases, ref_seg, span[0],
-                                                cigar=hap_cigars[i])
-                      for i, h in enumerate(haps)]
-        all_events = {}
-        for evs in hap_events:
-            for e in evs:
-                if reg.start <= e.pos < reg.end:
-                    all_events[(e.pos, e.ref, e.alt)] = e
-        if not all_events:
-            return None
+        return _prepare_region_impl(self.ref, self.cfg, self.cnn, reg,
+                                    t_reads, n_reads)
 
-        # AssemblyRegionTrimmer (AssemblyRegionTrimmer.cpp:31-84,
-        # Mutect2Engine.cpp:190-199): shrink the region to the variation
-        # span + padding, trim haplotypes and hard-clip reads to it
-        from . import trimming
-        flat_events = [(e.pos, e.ref, e.alt)
-                       for evs in hap_events for e in evs]
-        tr = trimming.trimmed_span(reg.start, reg.end, flat_events,
-                                   len(self.ref))
-        if tr is None:
-            return None
-        w0 = max(tr[0], span[0])
-        w1 = min(tr[1], span[1])
-        hap_roff = [span[0]] * len(haps)
-        if (w0, w1) != span and w0 < w1:
-            new_ref_seg = self.ref[w0:w1].astype(np.uint8)
-            new_bases, new_cigars, hap_roff = [], [], []
-            for i, h in enumerate(haps):
-                if h.is_ref or hap_cigars[i] is None:
-                    new_bases.append(new_ref_seg)
-                    new_cigars.append(None)
-                    hap_roff.append(w0)
-                    continue
-                out = trimming.clip_to_window(hap_bases[i], None,
-                                              hap_cigars[i], span[0],
-                                              w0, w1)
-                if out is None:        # no aligned hap base in window
-                    new_bases.append(new_ref_seg)
-                    new_cigars.append(None)
-                    hap_roff.append(w0)
-                    continue
-                b2, _, p2, c2 = out
-                new_bases.append(b2)
-                new_cigars.append(c2)
-                hap_roff.append(p2)
-            hap_bases, hap_cigars = new_bases, new_cigars
-            ref_seg = new_ref_seg
-            span = (w0, w1)
-            t_reads = [r2 for r in t_reads
-                       if (r2 := trimming.clip_read_to_window(r, w0, w1))
-                       is not None]
-            n_reads = [r2 for r in n_reads
-                       if (r2 := trimming.clip_read_to_window(r, w0, w1))
-                       is not None]
-            if not t_reads:
-                return None
-
-        # CNN gate ("deep" mode): dense regions the classifier deems
-        # germline/noise are skipped wholesale (main.cpp:213-221);
-        # per-region variant scan with padded-window skip
-        # (model.cpp:435-500)
-        if self.cnn is not None and len(t_reads) > 100:
-            if self.cnn.gate_region(self.ref, t_reads, n_reads,
-                                    [pos for (pos, _, _) in all_events]):
-                return None
-        return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
-                    n_reads=n_reads, haps=haps, hap_bases=hap_bases,
-                    hap_events=hap_events, all_events=all_events,
-                    hap_cigars=hap_cigars, hap_roff=hap_roff)
 
     def _dispatch_region(self, prep):
         """Device stage: async PairHMM dispatch for both samples."""

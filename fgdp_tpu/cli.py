@@ -269,9 +269,14 @@ def cmd_mutect(args):
                 rid = src.names.index(cname)
                 codes = ref.contig_codes(cid)
                 eng = Mutect2Engine(codes, cname, cfg=cfg,
-                                    cnn_model_path=args.deep_model)
-                all_calls.extend(
-                    eng.call_windows(src.windows(rid, codes)))
+                                    cnn_model_path=args.deep_model,
+                                    region_workers=max(args.threads - 1,
+                                                       0))
+                try:
+                    all_calls.extend(
+                        eng.call_windows(src.windows(rid, codes)))
+                finally:
+                    eng.close()
                 callable_sites += eng.callable_sites
         finally:
             src.close()
@@ -301,8 +306,12 @@ def cmd_mutect(args):
             for r in t + nr:
                 palindrome_artifact_clip(r, codes)
             eng = Mutect2Engine(codes, cname, cfg=cfg,
-                                cnn_model_path=args.deep_model)
-            all_calls.extend(eng.call(t, nr))
+                                cnn_model_path=args.deep_model,
+                                region_workers=max(args.threads - 1, 0))
+            try:
+                all_calls.extend(eng.call(t, nr))
+            finally:
+                eng.close()
             callable_sites += eng.callable_sites
     # --panel-of-normals: blacklist sites seen in the PoN VCF
     # (PanelOfNormalsFilter via the IN_PON annotation)
@@ -439,6 +448,10 @@ def main(argv=None):
     pc.add_argument("-N", "--normal")
     pc.add_argument("-O", "--output", required=True)
     pc.add_argument("--deep-model", help="TorchScript CNN gate (trans.pt)")
+    pc.add_argument("-t", "--threads", type=int, default=1,
+                    help="host threads: t-1 region-prep workers run "
+                         "assembly/trim/gate in parallel (reference "
+                         "main.cpp:195 N-thread region scheduler)")
     pc.add_argument("--panel-of-normals", dest="pon",
                     help="PoN VCF; matching sites get the "
                          "panel_of_normals filter")

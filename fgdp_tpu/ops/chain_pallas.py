@@ -158,7 +158,14 @@ def chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow, l_pac,
     wq/wr int32[B, C], n int32[B], chain_of int32[B, P], ovf bool[B].
     """
     B, P = qbeg.shape
-    pad = (-B) % TILE_B
+    # VMEM per grid step scales with P and C; the escalation ladder's
+    # widened shapes (P=1024, C=256) need a narrower lane tile to stay
+    # under the ~16 MB scoped budget (measured 20 MB at TILE_B=256)
+    tile_b = TILE_B
+    while tile_b > 8 and (5 * P + N_OUT * C + P) * tile_b * 4 \
+            + (N_FIELDS * C + 2) * tile_b * 4 > 12 * 2**20:
+        tile_b //= 2
+    pad = (-B) % tile_b
     if pad:
         zi = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
         qbeg, rbeg, slen = zi(qbeg), zi(rbeg), zi(slen)
@@ -169,8 +176,8 @@ def chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow, l_pac,
     lpac_row = jnp.broadcast_to(jnp.int32(l_pac), (1, BP))
     ovf_row = overflow.astype(jnp.int32).reshape(1, BP)
 
-    grid = (BP // TILE_B,)
-    tile = lambda rows: pl.BlockSpec((rows, TILE_B), lambda g: (0, g),
+    grid = (BP // tile_b,)
+    tile = lambda rows: pl.BlockSpec((rows, tile_b), lambda g: (0, g),
                                      memory_space=pltpu.VMEM)
     state, n, ovf, chain_of = pl.pallas_call(
         functools.partial(_kernel, C=C, P=P, w=int(w),
@@ -182,8 +189,8 @@ def chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow, l_pac,
                    jax.ShapeDtypeStruct((1, BP), jnp.int32),
                    jax.ShapeDtypeStruct((1, BP), jnp.int32),
                    jax.ShapeDtypeStruct((P, BP), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((N_FIELDS * C, TILE_B), jnp.int32),
-                        pltpu.VMEM((2, TILE_B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((N_FIELDS * C, tile_b), jnp.int32),
+                        pltpu.VMEM((2, tile_b), jnp.int32)],
         interpret=interpret,
     )(tr(qbeg), tr(rbeg), tr(slen), tr(rid), tr(valid),
       lpac_row, ovf_row)

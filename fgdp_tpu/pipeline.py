@@ -230,15 +230,26 @@ class Aligner:
         B = len(ovf)
         L = self.shapes.read_len
         for level in range(1, self.ESCALATE_LEVELS + 1):
-            fn = self._esc_fns.get(level)
+            # escalated programs run at a SMALL static batch sized to
+            # the overflow population (repeat-dense workloads overflow
+            # a steady ~2-3% of reads: re-running them in the full-B
+            # widened program cost more than the primary align)
+            B_esc = 128
+            while B_esc < min(len(idx), B):
+                B_esc *= 2
+            B_esc = min(B_esc, B)
+            fn = self._esc_fns.get((level, B_esc))
             if fn is None:
+                import dataclasses as _dc
+                esh = _dc.replace(self._escalated_shapes(level),
+                                  batch_reads=B_esc)
                 fn = jax.jit(functools.partial(
-                    device_align, opt=self._dev_opt,
-                    shapes=self._escalated_shapes(level)))
-                self._esc_fns[level] = fn
-            codes = np.full((B, L), 4, np.int32)
-            lens = np.zeros(B, np.int32)
-            active = np.zeros(B, bool)
+                    device_align, opt=self._dev_opt, shapes=esh))
+                self._esc_fns[(level, B_esc)] = fn
+            codes = np.full((B_esc, L), 4, np.int32)
+            lens = np.zeros(B_esc, np.int32)
+            active = np.zeros(B_esc, bool)
+            idx = idx[:B_esc]          # more than B reads cannot overflow
             for j, b in enumerate(idx):
                 s = seq_codes[b]
                 n = min(len(s), L)

@@ -2,6 +2,7 @@
 mem_chain_seeds_new / mem_chain_weight / mem_chain_flt."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fgdp_tpu.align import chain as chainmod
@@ -36,6 +37,7 @@ def _reads(rng, pref, n, L=101, mut=0.03):
     return codes
 
 
+@pytest.mark.slow
 def test_chain_parity(rng):
     pref, fm = _setup(rng)
     dref = DeviceReference(pref)
@@ -104,6 +106,7 @@ def test_chain_parity(rng):
             assert kept == exp_kept.get(key, 0), (b, key, kept, exp_kept)
 
 
+@pytest.mark.slow
 def test_chain_pallas_matches_jnp(rng):
     """Pallas chain-loop kernel (interpret mode on CPU) is bit-identical
     to the jnp while_loop across every ChainBatch field."""

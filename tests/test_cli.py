@@ -36,6 +36,7 @@ def tiny_world(tmp_path_factory):
     return tmp, fa, r1p, r2p, ref_codes
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline(tiny_world):
     tmp, fa, r1p, r2p, ref_codes = tiny_world
     prefix = str(tmp / "idx")
@@ -74,6 +75,7 @@ def test_cli_full_pipeline(tiny_world):
     assert strip(vcf2.read_text()) == strip(vcf.read_text())
 
 
+@pytest.mark.slow
 def test_pipeline_pooled_identical(tiny_world):
     """pipeline -t N (pooled finalize + streaming sortdup) must produce
     the identical BAM to the in-process pipeline."""
@@ -126,6 +128,7 @@ def test_mem_opt_flags_and_profiles():
         (10, 10, 3, 3, 40)
 
 
+@pytest.mark.slow
 def test_mem_finalize_workers_identical(tiny_world):
     """-t N (worker_sam pool analogue): pooled finalize output is
     line-identical to the in-process path (single-end)."""
@@ -142,6 +145,7 @@ def test_mem_finalize_workers_identical(tiny_world):
     assert a.read_text() == b.read_text()
 
 
+@pytest.mark.slow
 def test_mem_finalize_workers_pe_identical(tiny_world):
     tmp, fa, r1p, r2p, ref_codes = tiny_world
     prefix = str(tmp / "idx")

@@ -78,6 +78,7 @@ def test_e2e_positions(aligner):
     assert n_ok >= len(reads) - 1, (n_ok, len(reads))
 
 
+@pytest.mark.slow
 def test_e2e_md_nm_consistency(aligner):
     """Recompute the alignment from MD/CIGAR and verify it reproduces the
     reference bases at the mapped locus."""
@@ -106,6 +107,7 @@ def test_e2e_md_nm_consistency(aligner):
         assert pos + rlen <= int(pref.lens[rid])
 
 
+@pytest.mark.slow
 def test_e2e_unmapped(aligner):
     rng = np.random.default_rng(5)
     junk = [rng.integers(0, 4, 101).astype(np.int64) for _ in range(2)]

@@ -40,6 +40,7 @@ def _simulate_pairs(rng, pref, n, L=101, isize_mean=300, isize_sd=20,
     return names, reads, truth
 
 
+@pytest.mark.slow
 def test_pe_proper_pairs(aligner):
     rng = np.random.default_rng(5)
     n = 40
@@ -76,6 +77,7 @@ def test_pe_proper_pairs(aligner):
     assert n_proper >= n - 2
 
 
+@pytest.mark.slow
 def test_rescue_all_matches_sequential(aligner):
     """Batched rescue (rescue_all: enumerate -> one SW batch -> replay)
     must leave reg lists identical to the per-pair scalar matesw loop."""

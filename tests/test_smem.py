@@ -148,6 +148,7 @@ def test_device_k3_matches_scalar(world):
         assert got[b] == want, f"read {b}"
 
 
+@pytest.mark.slow
 def test_full_collect_pipeline_matches(world):
     """K1+K2+K3 driver parity (mem_collect_smem semantics)."""
     rng, ref, fm, dfm, refc = world
@@ -182,6 +183,7 @@ def test_device_k3_tail_tiering_matches(world):
     assert seeds_to_sets(a, B, fm) == seeds_to_sets(b, B, fm)
 
 
+@pytest.mark.slow
 def test_backward_two_step_ambiguous_second_char(world):
     """N at the SECOND char of a backward gather pair must kill the
     lane exactly like the one-step body (a lane left alive would skip
@@ -227,6 +229,7 @@ def _pack16(ref: np.ndarray) -> jnp.ndarray:
          ).sum(axis=1, dtype=np.uint32))
 
 
+@pytest.mark.slow
 def test_packed_epilogue_parity(world):
     """The single-suffix epilogues must emit identical seeds whether the
     text window comes from elementwise _text_base gathers or the packed

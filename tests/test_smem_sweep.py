@@ -50,6 +50,7 @@ def slots(seeds, fm, B):
     return out
 
 
+@pytest.mark.slow
 def test_k1_sweep_matches_wave(world):
     rng, ref, fm, dfm, dref = world
     reads = make_reads(rng, ref)
@@ -70,6 +71,7 @@ def test_k1_sweep_matches_wave(world):
     assert slots(got, fm, B) == slots(want, fm, B)
 
 
+@pytest.mark.slow
 def test_k1_sweep_varied_lengths_and_inactive(world):
     rng, ref, fm, dfm, dref = world
     reads = make_reads(rng, ref, n_reads=16)
@@ -89,6 +91,7 @@ def test_k1_sweep_varied_lengths_and_inactive(world):
     assert slots(got, fm, B) == slots(want, fm, B)
 
 
+@pytest.mark.slow
 def test_k2_lanes_sweep_matches_wave(world):
     """K2 shape: one anchor per job lane, min_intv > 1, merged into an
     existing SeedBatch."""
