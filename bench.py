@@ -224,25 +224,26 @@ def bench_pairhmm(NP=2048, R=151, H=384):
             return total
         return chain
 
-    # paired short/long chains per trial; median of paired differences
-    # cancels the relay's per-dispatch jitter (which exceeds 16 calls'
-    # compute — an unpaired best-of subtraction returned nonsense)
-    K0, K1 = 4, 36
+    # long-vs-short chain pairs amortize the relay round-trip (~0.1 s,
+    # which exceeds tens of calls' compute); min over trials rejects
+    # scheduling noise (a short-chain median returned 48-1400 GCUPS)
+    K0, K1 = 8, 72
     ch0, ch1 = make_chain(K0), make_chain(K1)
     mk = lambda eps: (jnp.asarray(reads), jnp.asarray(rlens),
                       jnp.asarray(pq + eps), jnp.asarray(tr),
                       jnp.asarray(haps), jnp.asarray(hlens))
     _ = float(np.asarray(ch0(*mk(0.0))))
     _ = float(np.asarray(ch1(*mk(1e-7))))
-    diffs = []
-    for trial in range(5):
+    per_calls = []
+    for trial in range(3):
         t0 = time.perf_counter()
         _ = float(np.asarray(ch0(*mk(1e-7 * (2 * trial + 2)))))
         t_a = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = float(np.asarray(ch1(*mk(1e-7 * (2 * trial + 3)))))
-        diffs.append((time.perf_counter() - t0) - t_a)
-    per_call = max(float(np.median(diffs)) / (K1 - K0), 1e-9)
+        t_b = time.perf_counter() - t0
+        per_calls.append((t_b - t_a) / (K1 - K0))
+    per_call = max(min(per_calls), 1e-9)
     return NP * R * H / per_call / 1e9
 
 

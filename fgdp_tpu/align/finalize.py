@@ -933,6 +933,7 @@ def gen_alt(pref: PackedReference, opt: AlignConfig, codes, regs):
     if tot == 0:
         return [None] * n
     aln = [[] for _ in range(n)]
+    jobs, owners = [], []
     for i in range(n):
         r = pri_idx(i)
         if r < 0:
@@ -940,7 +941,13 @@ def gen_alt(pref: PackedReference, opt: AlignConfig, codes, regs):
         if cnt[r] > opt.max_XA_hits_alt or \
                 (not has_alt[r] and cnt[r] > opt.max_XA_hits):
             continue
-        t = reg2aln(pref, opt, codes, regs[i])
+        jobs.append((codes, regs[i]))
+        owners.append(r)
+    # batched CIGAR DP (native ksw_global + vectorized no-gap path):
+    # the scalar reg2aln per alt hit was the repeat-workload finalize
+    # hot spot (~5.6 ms per gapped python-DP call)
+    alns = reg2aln_batch(pref, opt, jobs) if jobs else []
+    for r, t in zip(owners, alns):
         cig = "".join(f"{ln}{_CIGAR_OPS[op] if op < 5 else 'N'}"
                       for op, ln in t["cigar"])
         aln[r].append(f"{pref.names[t['rid']]},"

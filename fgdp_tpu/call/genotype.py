@@ -117,9 +117,13 @@ def log_evidence(log_likelihoods, min_af=0.0, non_ref_index=-1,
     logw = sps.digamma(post) - sps.digamma(post.sum())
     z = ll + logw[:, None]
     resp = np.exp(z - sps.logsumexp(z, axis=0, keepdims=True))
-    xlogx = np.where(resp > 1e-12, resp * np.log(np.maximum(resp, 1e-300)),
-                     0.0)
-    contrib = (resp * ll).sum() - xlogx.sum()
+    # reference cutoffs: xLogx(x) = 0 below 1e-8 (.cpp:113-115) and the
+    # likelihood term skips responsibilities < 1e-10 (.cpp:125,
+    # NEGLIGIBLE_RESPONSIBILITY)
+    xlogx = np.where(resp >= 1e-8,
+                     resp * np.log(np.maximum(resp, 1e-300)), 0.0)
+    lik_term = np.where(resp >= 1e-10, resp * ll, 0.0)
+    contrib = lik_term.sum() - xlogx.sum()
     return prior_contrib + post_contrib + contrib
 
 

@@ -204,6 +204,16 @@ def compute_log_likelihoods_async(reads, rlens, quals, i_quals, d_quals,
     syncs, applies the f64 underflow fallback, and returns the numpy
     result — lets callers overlap host work (e.g. the next region's
     assembly) with the device computation."""
+    import os
+    if os.environ.get("FGDP_PAIRHMM_F64") == "1":
+        # diagnosis knob (scripts/vcf_drift.py): run EVERY pair through
+        # the f64 path to attribute golden-VCF LOD drift to f32
+        # summation vs downstream pipeline order
+        ph2pr64 = 10.0 ** (-np.arange(128) / 10.0)
+        pq64 = ph2pr64[np.clip(quals, 0, 127)]
+        tr64 = transitions(i_quals, d_quals, c_quals, np.float64)
+        out = forward_f64(reads, rlens, pq64, tr64, haps, hlens)
+        return lambda: out
     ph2pr32 = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
     pq32 = ph2pr32[np.clip(quals, 0, 127)]
     tr32 = transitions(i_quals, d_quals, c_quals, np.float32)

@@ -65,11 +65,11 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
         Mp, Xp, Yp = m_ref[:], x_ref[:], y_ref[:]
         match = (hap_at == rbase) | (hap_at >= 4) | (rbase >= 4)
         prior = jnp.where(match, 1.0 - pq_i, pq_i / 3.0)
+        # j == 0 boundary rows need no masks: the row-1 shifts insert 0,
+        # so Mi[0] = Xi[0] = 0 inductively and the scan's y[0] = u[0] = 0
         Mi = prior * (shiftk(Mp, 1) * t_mm +
                       shiftk(Xp + Yp, 1) * t_gm)
-        Mi = jnp.where(jrow >= 1, Mi, 0.0)
         Xi = Mp * t_mx + Xp * t_xx
-        Xi = jnp.where(jrow >= 1, Xi, 0.0)
         u = shiftk(Mi, 1) * t_my
         cp = t_yy
         y = u
@@ -78,14 +78,18 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
             y = y + cp * shiftk(y, k)
             cp = cp * cp
             k <<= 1
-        Yi = jnp.where(jrow >= 1, y, 0.0)
+        Yi = y
         live = (i < rlens).astype(jnp.float32)
         m_ref[:] = Mi * live + Mp * (1.0 - live)
         x_ref[:] = Xi * live + Xp * (1.0 - live)
         y_ref[:] = Yi * live + Yp * (1.0 - live)
         return 0
 
-    jax.lax.fori_loop(0, R, row, 0)
+    # rows beyond every lane's read length are frozen by the live
+    # blend — stop at the tile's max rlen instead of the padded R
+    r_hi = jnp.minimum(jnp.max(rlens), R)
+    jax.lax.while_loop(lambda i: i < r_hi,
+                       lambda i: (row(i, 0), i + 1)[1], jnp.int32(0))
     # the live blend freezes each lane's state at its rlens-th row, so
     # the final-row sum (the GKL kernel's result accumulation) needs no
     # per-row latch — one reduction after the loop replaces an [H, P]

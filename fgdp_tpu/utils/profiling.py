@@ -42,6 +42,10 @@ class Profiler:
             self.acc[name] += time.perf_counter() - t0
             self.hits[name] += 1
 
+    def reset(self):
+        self.acc.clear()
+        self.hits.clear()
+
     def add(self, name, seconds):
         self.acc[name] += seconds
         self.hits[name] += 1

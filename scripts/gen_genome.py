@@ -37,21 +37,20 @@ def markov_background(rng, n, order=2):
 
 
 def markov_fast(rng, n):
-    """Fast approximation: stitch 64 kb i.i.d.-Markov tiles produced by
-    the scalar chain (the scalar loop is too slow for 60 Mb)."""
-    tile = markov_background(rng, 65536)
-    reps = n // len(tile) + 1
-    # shuffle tile order and mutate each copy 2% so tiles aren't exact
-    # genome-wide repeats
-    out = np.empty(reps * len(tile), np.uint8)
-    for i in range(reps):
-        t = tile.copy()
-        m = rng.random(len(t)) < 0.02
-        t[m] = rng.integers(0, 4, int(m.sum()))
-        # rotate so junctions differ
-        k = int(rng.integers(0, len(t)))
-        out[i * len(t):(i + 1) * len(t)] = np.roll(t, k)
-    return out[:n]
+    """Vectorized unique background: i.i.d. draws under a GC/composition
+    profile that drifts per 100 kb isochore. (A first version tiled ONE
+    64 kb Markov block genome-wide — every 20-mer then occurred ~n/64k
+    times and the whole genome was one giant repeat; backgrounds must be
+    unique sequence, repeats come from the explicit families below.)"""
+    iso = 100_000
+    blocks = []
+    for b0 in range(0, n, iso):
+        ln = min(iso, n - b0)
+        gc = rng.beta(5, 5) * 0.3 + 0.35        # GC in ~[0.35, 0.65]
+        pa = (1 - gc) / 2
+        p = np.array([pa, gc / 2, gc / 2, pa])
+        blocks.append(rng.choice(4, size=ln, p=p).astype(np.uint8))
+    return np.concatenate(blocks)[:n]
 
 
 def mutate(rng, s, div):

@@ -106,11 +106,13 @@ def align(prefix, n_reads, batch=4096, paired=False):
         stream_fastq_to_bam(aligner, _read_batches([warm_fq], batch),
                             out_bam, paired=False, pool=pool, depth=3)
         from fgdp_tpu.utils.profiling import PROF
+        PROF.reset()
         t0 = time.time()
         n, (nrec, ndup) = stream_fastq_to_bam(
             aligner, _read_batches([fq], batch), out_bam,
             paired=False, pool=pool, depth=3)
         dt = time.time() - t0
+        PROF.display_stats(units=n, unit_name="reads")
     finally:
         pool.shutdown()
     print(f"SCALE ALIGN: {n} reads in {dt:.1f}s = {n/dt:.0f} reads/s "
