@@ -151,7 +151,8 @@ def expand_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
 def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
                 lens, opt: AlignConfig, max_seedpos: int,
-                max_chains: int, use_pallas: bool | None = None) -> ChainBatch:
+                max_chains: int, use_pallas: bool | None = None,
+                jobs_cap: int = 0) -> ChainBatch:
     B, S = smems.m.shape
     P, C = max_seedpos, max_chains
     bidx = jnp.arange(B)
@@ -170,7 +171,7 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
     frac_rep = l_rep.astype(jnp.float32) / jnp.maximum(lens, 1).astype(jnp.float32)
 
     qbeg, rbeg, slen, rid, valid, overflow, flat = expand_seeds(
-        dfm, dref, smems, opt, P)
+        dfm, dref, smems, opt, P, jobs_cap=jobs_cap)
 
     if use_pallas is None:
         try:

@@ -33,9 +33,18 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                           max_seeds=shapes.max_smems, prev_cap=20,
                           scale=shapes.seed_scale,
                           lcp_tree=lcp_tree, lcp_isa=lcp_isa)
+    # flat-job pool sizing: the pool is shared first-come-first-served,
+    # so a repeat read expanding to max_occ jobs must not starve later
+    # reads of ALL seeds (observed: Alu-dense batches left the batch
+    # tail with zero chains). Primary budget = 32 jobs/read average;
+    # escalated programs (small B_esc) afford the per-read worst case.
+    B_cur = codes.shape[0]
+    jobs_cap = B_cur * (32 if shapes.seed_scale == 1
+                        else shapes.max_seeds)
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,
-                              max_chains=shapes.max_chains)
+                              max_chains=shapes.max_chains,
+                              jobs_cap=jobs_cap)
     regs = extendmod.extend_chains(cb, codes, lens, dref, opt,
                                    max_regs=shapes.max_regs,
                                    t_max=shapes.max_ext_ref,
@@ -232,10 +241,11 @@ class Aligner:
         for level in range(1, self.ESCALATE_LEVELS + 1):
             # escalated programs run at a SMALL static batch sized to
             # the overflow population (repeat-dense workloads overflow
-            # a steady ~2-3% of reads: re-running them in the full-B
-            # widened program cost more than the primary align)
+            # a steady few % of reads: re-running them in the full-B
+            # widened program cost more than the primary align). ALL
+            # overflowed reads are covered in B_esc-sized chunks.
             B_esc = 128
-            while B_esc < min(len(idx), B):
+            while B_esc < min(len(idx), 512):
                 B_esc *= 2
             B_esc = min(B_esc, B)
             fn = self._esc_fns.get((level, B_esc))
@@ -246,34 +256,38 @@ class Aligner:
                 fn = jax.jit(functools.partial(
                     device_align, opt=self._dev_opt, shapes=esh))
                 self._esc_fns[(level, B_esc)] = fn
-            codes = np.full((B_esc, L), 4, np.int32)
-            lens = np.zeros(B_esc, np.int32)
-            active = np.zeros(B_esc, bool)
-            idx = idx[:B_esc]          # more than B reads cannot overflow
-            for j, b in enumerate(idx):
-                s = seq_codes[b]
-                n = min(len(s), L)
-                codes[j, :n] = np.asarray(s[:n], np.int32)
-                lens[j] = n
-                active[j] = True
-            sub = fn(self.dfm, self.dref, jnp.asarray(codes),
-                     jnp.asarray(lens), jnp.asarray(active),
-                     lcp_tree=self.lcp_tree, lcp_isa=self.lcp_isa)
-            sub_np = {k: np.asarray(v) for k, v in sub._asdict().items()}
-            E_new = sub_np["valid"].shape[1]
-            E_cur = regs_np["valid"].shape[1]
-            if E_new > E_cur:
-                for k, v in regs_np.items():
-                    if v.ndim == 2:
-                        pad = np.zeros((B, E_new - E_cur), v.dtype)
-                        regs_np[k] = np.concatenate([v, pad], axis=1)
-            for j, b in enumerate(idx):
-                for k, v in regs_np.items():
-                    if v.ndim == 2:
-                        v[b] = sub_np[k][j]
-                regs_np["overflow"][b] = sub_np["overflow"][j]
-            idx = idx[np.asarray([sub_np["overflow"][j]
-                                  for j in range(len(idx))])]
+            still = []
+            for c0 in range(0, len(idx), B_esc):
+                chunk = idx[c0:c0 + B_esc]
+                codes = np.full((B_esc, L), 4, np.int32)
+                lens = np.zeros(B_esc, np.int32)
+                active = np.zeros(B_esc, bool)
+                for j, b in enumerate(chunk):
+                    s = seq_codes[b]
+                    n = min(len(s), L)
+                    codes[j, :n] = np.asarray(s[:n], np.int32)
+                    lens[j] = n
+                    active[j] = True
+                sub = fn(self.dfm, self.dref, jnp.asarray(codes),
+                         jnp.asarray(lens), jnp.asarray(active),
+                         lcp_tree=self.lcp_tree, lcp_isa=self.lcp_isa)
+                sub_np = {k: np.asarray(v)
+                          for k, v in sub._asdict().items()}
+                E_new = sub_np["valid"].shape[1]
+                E_cur = regs_np["valid"].shape[1]
+                if E_new > E_cur:
+                    for k, v in regs_np.items():
+                        if v.ndim == 2:
+                            pad = np.zeros((B, E_new - E_cur), v.dtype)
+                            regs_np[k] = np.concatenate([v, pad], axis=1)
+                for j, b in enumerate(chunk):
+                    for k, v in regs_np.items():
+                        if v.ndim == 2:
+                            v[b] = sub_np[k][j]
+                    regs_np["overflow"][b] = sub_np["overflow"][j]
+                    if sub_np["overflow"][j]:
+                        still.append(b)
+            idx = np.asarray(still, dtype=np.int64)
             if len(idx) == 0:
                 break
         return regs_np

@@ -105,6 +105,42 @@ def main():
     results[f"sortdup_dp{N}"] = dt
     print(f"sortdup markdup sp={N} (sharded): {dt*1000:.1f} ms/64k")
 
+    # ---- sortdup decomposition: all_to_all vs per-shard sort ----
+    # (VERDICT r2 #10: attribute the sharded-sortdup cost so the
+    # efficiency at K real hosts can be predicted per record count)
+    from jax.sharding import PartitionSpec as PP
+    W = 12                   # routed payload columns of the markdup body
+    pay = jnp.asarray(rng.integers(0, 1 << 30, (nrec, W)).astype(np.int32))
+    key = jnp.asarray(rng.integers(0, 1 << 30, nrec).astype(np.int32))
+    msp = pmesh.make_mesh(N, axis="sp")
+    p_sh = jax.device_put(pay, NamedSharding(msp, PP("sp")))
+    k_sh = jax.device_put(key, NamedSharding(msp, PP("sp")))
+
+    @functools.partial(jax.shard_map, mesh=msp, in_specs=PP("sp"),
+                       out_specs=PP("sp"))
+    def a2a(x):
+        return jax.lax.all_to_all(x, "sp", split_axis=0, concat_axis=0,
+                                  tiled=True)
+
+    @functools.partial(jax.shard_map, mesh=msp, in_specs=PP("sp"),
+                       out_specs=PP("sp"))
+    def local_sort(k):
+        return jax.lax.sort(k, dimension=0)
+
+    t_a2a = timeit(lambda: a2a(p_sh))
+    t_sort = timeit(lambda: local_sort(k_sh))
+    t_sort1 = timeit(lambda: jax.lax.sort(key, dimension=0))
+    results["sd_a2a"] = t_a2a
+    results["sd_localsort"] = t_sort
+    results["sd_sort1"] = t_sort1
+    print(f"sortdup decomposition @{nrec} recs x{W} cols: "
+          f"all_to_all {t_a2a*1000:.1f} ms, per-shard sort "
+          f"{t_sort*1000:.1f} ms, single-device sort "
+          f"{t_sort1*1000:.1f} ms")
+    print(f"  -> collective share of sharded run: "
+          f"{t_a2a/(t_a2a+t_sort)*100:.0f}%; sharding wins when "
+          f"sort(nrec) > a2a(nrec) + sort(nrec/{N})")
+
     # ---- PairHMM job batch ----
     NP, R, H = 512, 101, 160
     rng2 = np.random.default_rng(2)
