@@ -233,8 +233,14 @@ class Aligner:
         ovf = regs_np.get("overflow")
         if ovf is None or not np.any(ovf):
             return regs_np
+        from .utils.profiling import PROF
+        with PROF.phase("ESC_RETRY"):
+            return self._retry_overflow_inner(regs_np, seq_codes)
+
+    def _retry_overflow_inner(self, regs_np, seq_codes):
         # np views of jax arrays are read-only; copy before merging
         regs_np = {k: np.array(v) for k, v in regs_np.items()}
+        ovf = regs_np["overflow"]
         idx = np.flatnonzero(np.asarray(ovf))
         B = len(ovf)
         L = self.shapes.read_len

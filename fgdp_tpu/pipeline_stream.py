@@ -104,6 +104,9 @@ class LineWriter:
             raise self._err
 
 
+from .utils.profiling import PROF
+
+
 def overlapped_regs(aligner, batch_iter, depth: int = 2):
     """Generator keeping `depth` device align dispatches in flight ahead
     of the host-side conversion — the device crunches batch i+1..i+depth
@@ -123,10 +126,14 @@ def overlapped_regs(aligner, batch_iter, depth: int = 2):
         n += len(names)
         if len(pending) > depth:
             nm, sq, ql, rd, i0 = pending.popleft()
-            yield nm, sq, ql, aligner._regs_to_np(rd, sq), i0
+            with PROF.phase("REG_SYNC"):
+                regs_np = aligner._regs_to_np(rd, sq)
+            yield nm, sq, ql, regs_np, i0
     while pending:
         nm, sq, ql, rd, i0 = pending.popleft()
-        yield nm, sq, ql, aligner._regs_to_np(rd, sq), i0
+        with PROF.phase("REG_SYNC"):
+            regs_np = aligner._regs_to_np(rd, sq)
+        yield nm, sq, ql, regs_np, i0
 
 
 def stream_mem(aligner, batch_iter, write_line, paired: bool,
@@ -295,15 +302,25 @@ def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
         pending = collections.deque()
         for nm, sq, ql, regs_np, i0 in overlapped_regs(
                 aligner, Prefetcher(batch_iter, depth), depth):
-            pending.append(pool.submit(nm, sq, ql, regs_np, i0, paired))
+            with PROF.phase("POOL_SUBMIT"):
+                pending.append(pool.submit(nm, sq, ql, regs_np, i0,
+                                           paired))
             n = i0 + len(nm)
             while len(pending) > depth:
-                sd.feed(pending.popleft().result())
+                with PROF.phase("POOL_WAIT"):
+                    lines = pending.popleft().result()
+                with PROF.phase("SORT_FEED"):
+                    sd.feed(lines)
             if progress is not None:
                 progress(n)
         while pending:
-            sd.feed(pending.popleft().result())
-    return n, sd.finish()
+            with PROF.phase("POOL_WAIT"):
+                lines = pending.popleft().result()
+            with PROF.phase("SORT_FEED"):
+                sd.feed(lines)
+    with PROF.phase("SORT_FINISH"):
+        out = sd.finish()
+    return n, out
 
 
 # ----------------------------------------------------------------------

@@ -112,6 +112,7 @@ def align(prefix, n_reads, batch=4096, paired=False):
             aligner, _read_batches([fq], batch), out_bam,
             paired=False, pool=pool, depth=3)
         dt = time.time() - t0
+        import fgdp_tpu.pipeline_stream as ps
         PROF.display_stats(units=n, unit_name="reads")
     finally:
         pool.shutdown()
