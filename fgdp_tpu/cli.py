@@ -270,8 +270,8 @@ def cmd_mutect(args):
                 codes = ref.contig_codes(cid)
                 eng = Mutect2Engine(codes, cname, cfg=cfg,
                                     cnn_model_path=args.deep_model,
-                                    region_workers=max(args.threads - 1,
-                                                       0))
+                                    region_workers=max(
+                                        getattr(args, 'threads', 1) - 1, 0))
                 try:
                     all_calls.extend(
                         eng.call_windows(src.windows(rid, codes)))
@@ -307,7 +307,7 @@ def cmd_mutect(args):
                 palindrome_artifact_clip(r, codes)
             eng = Mutect2Engine(codes, cname, cfg=cfg,
                                 cnn_model_path=args.deep_model,
-                                region_workers=max(args.threads - 1, 0))
+                                region_workers=max(getattr(args, 'threads', 1) - 1, 0))
             try:
                 all_calls.extend(eng.call(t, nr))
             finally:
@@ -384,6 +384,7 @@ def cmd_pipeline(args):
         mt = argparse.Namespace(
             reference=args.reference, input=args.output,
             normal=args.normal, output=args.vcf, deep_model=None,
+            threads=args.threads,
             bqsr_tumor=None, bqsr_normal=None, callable_depth=None,
             max_prob_propagation_distance=None,
             active_probability_threshold=None,
@@ -481,6 +482,9 @@ def main(argv=None):
                     help="SAM-finalize worker processes (worker_sam "
                          "kt_for team analogue; 0 = in-process)")
     pp.add_argument("--vcf", help="also call variants to this VCF")
+    pp.add_argument("--threads", type=int, default=1,
+                    help="mutect-stage host threads (threads-1 region-prep "
+                         "workers), used only with --vcf [1]")
     pp.add_argument("-R", "--reference", help="FASTA (required with --vcf)")
     pp.add_argument("-N", "--normal", help="normal BAM (with --vcf)")
     pp.set_defaults(fn=cmd_pipeline)

@@ -10,8 +10,8 @@ inputs and compares:
              order, ECNT, MBQ, MMQ, RPA/RU/STR presence+values
   budgeted : DP +-2 and per-sample counts +-2 (currently exact on all
              fixture sites; slack covers assembly-region edge effects),
-             MPOS/MFRL +-2, lods within max(0.5, 10%) (PairHMM f32
-             kernel + EM convergence vs GKL AVX), AF +-0.01
+             MPOS/MFRL +-2, lods within max(0.25, 1%) (2x the measured
+             f32-PairHMM/EM drift, scripts/vcf_drift.py), AF +-0.01
 
 Every budget is asserted two-sided so regressions in either direction
 fail loudly.
@@ -60,8 +60,13 @@ def assert_close(a, b, tol, what):
 
 
 def assert_lod(a, b, what):
+    # Budget tightened to the measured drift (scripts/vcf_drift.py,
+    # round 3): residuals vs the binary are TLOD <= 0.23, NLOD <= 0.10,
+    # NALOD <= 0.14 — all FP-summation-order effects of the f32 PairHMM
+    # + EM. max(0.25, 1%) gives ~2x headroom over the worst measured
+    # site while catching any regression of the old 0.5/10% magnitude.
     a, b = float(a), float(b)
-    assert abs(a - b) <= max(0.5, 0.10 * max(abs(a), abs(b))), \
+    assert abs(a - b) <= max(0.25, 0.01 * max(abs(a), abs(b))), \
         f"{what}: {a} vs {b}"
 
 
