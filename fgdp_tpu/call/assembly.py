@@ -12,12 +12,13 @@ haplotypes; on total failure escalate the kmer size by 10 up to 6 times
 successful kmer sizes are unioned (findBestPaths :346-396 dedups by
 sequence).
 
-Graph semantics live in graph.py. The SeqGraph simplification passes of
-the reference (zipLinearChains, MergeDiamonds, CommonSuffixSplitter —
-src/graph/SeqGraph.cpp) are intentionally not reproduced: they rewrite
-the graph without changing its source->sink path spellings, purely to
-shrink the K-best search, which is already cheap at assembly-region
-scale here.
+Graph semantics live in graph.py; the sequence-graph stage
+(toSequenceGraph -> cleanNonRefPaths -> zip/merge/split simplification
+fixpoint -> K-best, reference src/graph/SeqGraph.cpp +
+graph/utils/{MergeDiamonds,MergeTails,SplitCommonSuffices,
+MergeCommonSuffices}.cpp) lives in seqgraph.py and is applied before
+K-best exactly as ReadThreadingAssembler::getAssemblyResult/
+cleanupSeqGraph do (ReadThreadingAssembler.cpp:18-73).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import dataclasses
 import numpy as np
 
 from . import graph as graphmod
+from . import seqgraph as seqmod
 
 DEFAULT_KMER_SIZES = (10, 25)
 KMER_SIZE_ITERATION_INCREASE = 10      # ReadThreadingAssembler.h
@@ -89,7 +91,12 @@ def create_graph(ref, reads, k: int, allow_low_complexity: bool,
     if g.ref_source() is None or g.ref_sink() is None:
         return None
     g.remove_paths_not_connected_to_ref()
-    return g
+    # sequence-graph stage (getAssemblyResult :37-47 + cleanupSeqGraph)
+    sg = seqmod.to_seq_graph(g)
+    sg.clean_non_ref_paths()
+    if not seqmod.cleanup_seq_graph(sg):
+        return None           # JUST_ASSEMBLED_REFERENCE: no variation
+    return sg
 
 
 def assemble_region(ref, reads, kmer_sizes=DEFAULT_KMER_SIZES,
@@ -112,12 +119,12 @@ def assemble_region(ref, reads, kmer_sizes=DEFAULT_KMER_SIZES,
     min_k = _min_kmer_size(ref, candidates)
 
     def run(k, allow_low_complexity):
-        g = create_graph(ref, reads, k, allow_low_complexity,
-                         min_dangling_branch_length)
-        if g is None:
+        sg = create_graph(ref, reads, k, allow_low_complexity,
+                          min_dangling_branch_length)
+        if sg is None:
             return False
         got = False
-        for score, path, all_ref in g.k_best_haplotypes(n_best):
+        for score, path, all_ref in seqmod.k_best_haplotypes(sg, n_best):
             got = True
             b = np.frombuffer(path, np.uint8)
             key = bytes(b)
