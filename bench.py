@@ -211,6 +211,11 @@ def bench_pairhmm(NP=2048, R=151, H=384):
     tr = pairhmm.transitions(np.full((NP, R), 45), np.full((NP, R), 45),
                              np.full((NP, R), 10), np.float32)
 
+    # production path (pairhmm.compute_log_likelihoods_async) truncates
+    # the in-row scan where extra doublings are bit-exact no-ops; the
+    # bench's gcp=10 quals give the same cap=6
+    cap = pairhmm.doubling_cap(np.full((NP, R), 10))
+
     def make_chain(K):
         @jax.jit
         def chain(reads, rlens, p0, tr, haps, hlens):
@@ -218,7 +223,7 @@ def bench_pairhmm(NP=2048, R=151, H=384):
             p = p0
             for _ in range(K):
                 out, _ = forward_f32_pallas(reads, rlens, p, tr, haps,
-                                            hlens)
+                                            hlens, n_doubling_cap=cap)
                 total = total + out.sum()
                 p = p + (out.sum() * 0 + 1e-12)   # serial dependency
             return total

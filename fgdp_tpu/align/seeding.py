@@ -60,6 +60,14 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # batch size into the large-N gather plateau (the wave machine is
     # flat in B). use_sweep=False falls back to the wave machine
     # (ops/smem.py), which the sweep is parity-tested against. ---
+    # Internal emit buffers are kept narrow: the machines' _append_seed
+    # one-hots pay O(B x S) bandwidth EVERY while step (profiled 10.5 ms
+    # of the 118 ms device program at S=160), while typical reads emit
+    # <10 K1 SMEMs and <10 K3 seeds. A read overflowing the narrow cap
+    # flags overflow and rides the escalation ladder, which scales the
+    # caps back up via `scale`.
+    s_k1 = min(64 * scale, max_seeds)
+    s_k3 = min(32 * scale, max_seeds)
     if lcp_tree is not None:
         # single-pass LCP-tree engine (ops/smem_lcp.py) — the LISA
         # all_SMEMs analogue; same SMEM set as the sweep (parity-tested),
@@ -67,19 +75,19 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         from ..ops import smem_lcp as lcpops
         seeds = lcpops.smem_all_lcp(
             dfm, lcp_tree, lcp_isa, codes, lens, active,
-            opt.min_seed_len, max_seeds, ref_codes16=dref.codes16,
+            opt.min_seed_len, s_k1, ref_codes16=dref.codes16,
             max_rounds=24 * scale)
     elif use_sweep:
         seeds = sweepops.smem_all_pos_sweep(
             dfm, dref.codes16, codes, lens, jnp.ones(B, jnp.int32),
-            active, opt.min_seed_len, max_seeds, prev_cap,
+            active, opt.min_seed_len, s_k1, prev_cap,
             entry_cap=min(2 * L + 16, 192 * scale),
             bwd_mult=44 * scale)
     else:
         seeds = smemops.smem_all_pos(
             dfm, dref.codes, dref.l_pac, codes, lens,
             jnp.ones(B, jnp.int32), active,
-            opt.min_seed_len, max_seeds, prev_cap,
+            opt.min_seed_len, s_k1, prev_cap,
             ref_codes16=dref.codes16)
     k1_count = seeds.count
 
@@ -115,7 +123,7 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         # cannot trigger
         seeds = sweepops.smem_lanes_sweep(
             dfm, dref.codes16, codes, lens, k_read, job_x, job_mi, k_on,
-            opt.min_seed_len, prev_cap, B, max_seeds, into=seeds,
+            opt.min_seed_len, prev_cap, B, s_k1, into=seeds,
             entry_cap=prev_cap + 2, bwd_mult=8 * scale, walk=False)
     else:
         k2lanes, _ = smemops.smem_one_pos_lanes(
@@ -123,13 +131,13 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
             job_mi, k_on, opt.min_seed_len, prev_cap, lane_emit_cap,
             ref_codes16=dref.codes16)
         seeds = smemops.merge_lane_seeds(k2lanes, k_read, qidx % S, k_on,
-                                         B, max_seeds, into=seeds)
+                                         B, s_k1, into=seeds)
 
     # --- K3 ---
     if opt.max_mem_intv > 0:
         k3 = smemops.seed_strategy(dfm, codes, lens, active,
                                    opt.max_mem_intv, opt.min_seed_len + 1,
-                                   max_seeds)
+                                   s_k3)
     else:
         k3 = smemops._empty_seeds(B, 1)
 

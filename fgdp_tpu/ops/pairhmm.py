@@ -85,7 +85,23 @@ def transitions(i_qual, d_qual, c_qual, dtype=np.float32) -> np.ndarray:
     return out
 
 
-def _forward(reads, rlens, pq, trans, haps, hlens, dtype, log10_ic):
+def doubling_cap(c_quals) -> int | None:
+    """Largest useful in-row scan depth for the f32 kernels, from the
+    gap-continuation quals: iteration d of the log-doubling scan
+    multiplies by t_yy^(2^d) = 10^(-cq/10 * 2^d); once that is below
+    the smallest f32 denormal (~10^-44.85) the multiplier rounds to
+    EXACTLY 0.0 and the iteration is a bit-exact no-op. For cq >= 8,
+    d = 6 already gives 10^-51.2 -> 0, so 6 doublings (span 64 columns)
+    suffice regardless of H. Returns None (no cap) when any cq < 8."""
+    import numpy as _np
+    cq = _np.asarray(c_quals)
+    if cq.size and int(cq.min()) >= 8:
+        return 6
+    return None
+
+
+def _forward(reads, rlens, pq, trans, haps, hlens, dtype, log10_ic,
+             n_doubling_cap=None):
     """Core forward DP. reads int32[NP, R]; pq f[NP, R] = ph2pr[qual];
     trans f[NP, R, 6]; haps int32[NP, H]; rlens/hlens int32[NP].
     Returns log10 P(read | hap) f[NP]."""
@@ -109,6 +125,8 @@ def _forward(reads, rlens, pq, trans, haps, hlens, dtype, log10_ic):
     Y0 = jnp.broadcast_to(init_y[:, None], (NP, H + 1)).astype(dtype)
 
     n_doubling = max(1, int(np.ceil(np.log2(max(H, 2)))))
+    if n_doubling_cap is not None:
+        n_doubling = min(n_doubling, n_doubling_cap)
 
     def shiftk(a, k):
         return jnp.pad(a, ((0, 0), (k, 0)))[:, :-k] if k else a
@@ -152,43 +170,74 @@ def _forward(reads, rlens, pq, trans, haps, hlens, dtype, log10_ic):
     return jnp.log10(jnp.maximum(acc, jnp.finfo(dtype).tiny)) - log10_ic, acc
 
 
-@functools.partial(jax.jit, static_argnames=())
-def forward_f32(reads, rlens, pq, trans, haps, hlens):
+@functools.partial(jax.jit, static_argnames=("n_doubling_cap",))
+def forward_f32(reads, rlens, pq, trans, haps, hlens,
+                n_doubling_cap=None):
     """float32 pass. Returns (log10_lik[NP], raw_sum[NP])."""
     return _forward(reads, rlens, pq, trans, haps, hlens, jnp.float32,
-                    jnp.float32(LOG10_IC_F32))
+                    jnp.float32(LOG10_IC_F32),
+                    n_doubling_cap=n_doubling_cap)
 
 
 def forward_f64(reads, rlens, pq64, trans64, haps, hlens):
-    """float64 fallback (GKL double path, IntelPairHmm.cc:340-349). Rare
-    pairs only — computed on the host in NumPy (row-vectorized), since
-    TPUs have no native f64 and global x64 mode is off."""
-    NP = reads.shape[0]
-    out = np.zeros(NP)
-    for p in range(NP):
-        R, H = int(rlens[p]), int(hlens[p])
-        hap = np.asarray(haps[p][:H], np.int64)
-        tr = np.asarray(trans64[p], np.float64)
-        pq = np.asarray(pq64[p], np.float64)
-        M = np.zeros(H + 1)
-        X = np.zeros(H + 1)
-        Y = np.full(H + 1, (2.0 ** 1020) / H)
-        for i in range(1, R + 1):
-            rb = int(reads[p][i - 1])
-            match = (hap == rb) | (hap >= 4) | (rb >= 4)
-            prior = np.where(match, 1.0 - pq[i - 1], pq[i - 1] / 3.0)
-            Mi = np.zeros(H + 1)
-            Xi = np.zeros(H + 1)
-            Mi[1:] = prior * (M[:-1] * tr[i - 1, MM] +
-                              (X[:-1] + Y[:-1]) * tr[i - 1, GM])
-            Xi[1:] = M[1:] * tr[i - 1, MX] + X[1:] * tr[i - 1, XX]
-            Yi = np.zeros(H + 1)
-            for j in range(1, H + 1):
-                Yi[j] = Mi[j - 1] * tr[i - 1, MY] + Yi[j - 1] * tr[i - 1, YY]
-            M, X, Y = Mi, Xi, Yi
-        out[p] = np.log10(max((M[1:].sum() + X[1:].sum()),
-                              np.finfo(np.float64).tiny)) - LOG10_IC_F64
-    return out
+    """float64 fallback (GKL double path, IntelPairHmm.cc:340-349),
+    batched: vectorized over pairs AND haplotype columns with one host
+    iteration per read row; the in-row Y recurrence uses the same
+    log-doubling form as the device kernels (f64). Replaces the
+    per-pair/per-column scalar loop — on an exome-density region a
+    64-pair fallback batch is one vectorized pass instead of
+    ~NP*R*H Python iterations. Scalar-loop parity is tested in
+    tests/test_pairhmm.py (test_f64_batched_matches_scalar)."""
+    reads = np.asarray(reads)
+    haps = np.asarray(haps)
+    NP, _ = reads.shape
+    Hm = haps.shape[1]
+    if NP == 0:
+        return np.zeros(0)
+    rl = np.asarray(rlens, np.int64)
+    hl = np.asarray(hlens, np.int64)
+    tr = np.asarray(trans64, np.float64)        # [NP, R, 6]
+    pq = np.asarray(pq64, np.float64)
+    hap_at = np.concatenate(
+        [np.full((NP, 1), 4, haps.dtype), haps], axis=1)   # [NP, Hm+1]
+    jcol = np.arange(Hm + 1)[None, :]
+    col_valid = (jcol >= 1) & (jcol <= hl[:, None])
+    hap_ge4 = hap_at >= 4
+    M = np.zeros((NP, Hm + 1))
+    X = np.zeros((NP, Hm + 1))
+    Y = np.broadcast_to((2.0 ** 1020) / hl[:, None],
+                        (NP, Hm + 1)).copy()
+    n_doubling = max(1, int(np.ceil(np.log2(max(Hm, 2)))))
+
+    def shift1(a, k=1):
+        out = np.zeros_like(a)
+        out[:, k:] = a[:, :-k]
+        return out
+
+    for i in range(int(rl.max())):
+        rb = reads[:, i][:, None]
+        match = (hap_at == rb) | hap_ge4 | (rb >= 4)
+        pqi = pq[:, i][:, None]
+        prior = np.where(match, 1.0 - pqi, pqi / 3.0)
+        t = tr[:, i]
+        Mi = prior * (shift1(M) * t[:, MM, None] +
+                      (shift1(X) + shift1(Y)) * t[:, GM, None])
+        Xi = M * t[:, MX, None] + X * t[:, XX, None]
+        u = shift1(Mi) * t[:, MY, None]
+        cp = t[:, YY, None].copy()
+        y = u
+        k = 1
+        for _ in range(n_doubling):
+            y = y + cp * shift1(y, k)
+            cp = cp * cp
+            k <<= 1
+        live = (i < rl)[:, None]
+        M = np.where(live, Mi, M)
+        X = np.where(live, Xi, X)
+        Y = np.where(live, y, Y)
+    acc = np.where(col_valid, M + X, 0.0).sum(axis=1)
+    return np.log10(np.maximum(acc, np.finfo(np.float64).tiny)) \
+        - LOG10_IC_F64
 
 
 def _use_pallas() -> bool:
@@ -217,6 +266,7 @@ def compute_log_likelihoods_async(reads, rlens, quals, i_quals, d_quals,
     ph2pr32 = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
     pq32 = ph2pr32[np.clip(quals, 0, 127)]
     tr32 = transitions(i_quals, d_quals, c_quals, np.float32)
+    cap = doubling_cap(c_quals)
     if _use_pallas():
         from .pairhmm_pallas import forward_f32_pallas as fwd
     else:
@@ -225,7 +275,8 @@ def compute_log_likelihoods_async(reads, rlens, quals, i_quals, d_quals,
                        jnp.asarray(rlens, jnp.int32),
                        jnp.asarray(pq32), jnp.asarray(tr32),
                        jnp.asarray(haps, jnp.int32),
-                       jnp.asarray(hlens, jnp.int32))
+                       jnp.asarray(hlens, jnp.int32),
+                       n_doubling_cap=cap)
 
     def collect():
         out = np.asarray(out_d).astype(np.float64)

@@ -42,6 +42,7 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
     col_valid = (jrow >= 1) & (jrow <= hlens)
     hap_at = jnp.concatenate(
         [jnp.full((1, P), 4, jnp.int32), haps_ref[:]], axis=0)
+    hap_ge4 = hap_at >= 4        # hoisted out of the row loop
 
     m_ref[:] = jnp.zeros((H + 1, P), jnp.float32)
     x_ref[:] = jnp.zeros((H + 1, P), jnp.float32)
@@ -63,7 +64,7 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
         t_my = trans_ref[pl.ds(i * 6 + MY, 1), :]
         t_yy = trans_ref[pl.ds(i * 6 + YY, 1), :]
         Mp, Xp, Yp = m_ref[:], x_ref[:], y_ref[:]
-        match = (hap_at == rbase) | (hap_at >= 4) | (rbase >= 4)
+        match = (hap_at == rbase) | hap_ge4 | (rbase >= 4)
         prior = jnp.where(match, 1.0 - pq_i, pq_i / 3.0)
         # j == 0 boundary rows need no masks: the row-1 shifts insert 0,
         # so Mi[0] = Xi[0] = 0 inductively and the scan's y[0] = u[0] = 0
@@ -79,10 +80,13 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
             cp = cp * cp
             k <<= 1
         Yi = y
-        live = (i < rlens).astype(jnp.float32)
-        m_ref[:] = Mi * live + Mp * (1.0 - live)
-        x_ref[:] = Xi * live + Xp * (1.0 - live)
-        y_ref[:] = Yi * live + Yp * (1.0 - live)
+        # select, not arithmetic blend: x*1 + y*0 equals where(live,x,y)
+        # bit-for-bit for finite values but turns inf/nan in the dead
+        # branch into nan; where() is also 1 op/state vs 3
+        live = i < rlens
+        m_ref[:] = jnp.where(live, Mi, Mp)
+        x_ref[:] = jnp.where(live, Xi, Xp)
+        y_ref[:] = jnp.where(live, Yi, Yp)
         return 0
 
     # rows beyond every lane's read length are frozen by the live
@@ -98,12 +102,15 @@ def _kernel(reads_ref, pq_ref, trans_ref, haps_ref, rlens_ref, hlens_ref,
                          axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "n_doubling_cap"))
 def forward_f32_pallas(reads, rlens, pq, trans, haps, hlens,
-                       interpret=False):
+                       interpret=False, n_doubling_cap=None):
     """Same contract as pairhmm.forward_f32 (log10 lik, raw sums).
     reads int32[NP, R], pq f32[NP, R], trans f32[NP, R, 6],
-    haps int32[NP, H], rlens/hlens int32[NP]."""
+    haps int32[NP, H], rlens/hlens int32[NP]. n_doubling_cap: see
+    pairhmm.doubling_cap — truncates the in-row scan where extra
+    doublings are bit-exact no-ops (t_yy^(2^d) rounds to 0)."""
     NP, R = reads.shape
     H = haps.shape[1]
     pad = (-NP) % TILE_P
@@ -123,6 +130,8 @@ def forward_f32_pallas(reads, rlens, pq, trans, haps, hlens,
     hlens_T = hlens.reshape(1, NPP).astype(jnp.int32)
 
     n_doubling = max(1, int(np.ceil(np.log2(max(H, 2)))))
+    if n_doubling_cap is not None:
+        n_doubling = min(n_doubling, n_doubling_cap)
     grid = (NPP // TILE_P,)
     tile = lambda rows: pl.BlockSpec((rows, TILE_P), lambda g: (0, g),
                                      memory_space=pltpu.VMEM)

@@ -107,3 +107,71 @@ def test_pairhmm_f64_fallback(rng):
         np.array([H], np.int32))
     assert np.isfinite(got[0])
     assert got[0] < -100
+
+
+def _scalar_f64(reads, rlens, pq64, trans64, haps, hlens):
+    """The pre-batching per-pair/per-column scalar loop, kept as the
+    oracle for the vectorized forward_f64 (same recurrences as
+    IntelPairHmm.cc double path)."""
+    NP = reads.shape[0]
+    out = np.zeros(NP)
+    MM, GM, MX, XX, MY, YY = (pairhmm.MM, pairhmm.GM, pairhmm.MX,
+                              pairhmm.XX, pairhmm.MY, pairhmm.YY)
+    for p in range(NP):
+        R, H = int(rlens[p]), int(hlens[p])
+        hap = np.asarray(haps[p][:H], np.int64)
+        tr = np.asarray(trans64[p], np.float64)
+        pq = np.asarray(pq64[p], np.float64)
+        M = np.zeros(H + 1)
+        X = np.zeros(H + 1)
+        Y = np.full(H + 1, (2.0 ** 1020) / H)
+        for i in range(1, R + 1):
+            rb = int(reads[p][i - 1])
+            match = (hap == rb) | (hap >= 4) | (rb >= 4)
+            prior = np.where(match, 1.0 - pq[i - 1], pq[i - 1] / 3.0)
+            Mi = np.zeros(H + 1)
+            Xi = np.zeros(H + 1)
+            Mi[1:] = prior * (M[:-1] * tr[i - 1, MM] +
+                              (X[:-1] + Y[:-1]) * tr[i - 1, GM])
+            Xi[1:] = M[1:] * tr[i - 1, MX] + X[1:] * tr[i - 1, XX]
+            Yi = np.zeros(H + 1)
+            for j in range(1, H + 1):
+                Yi[j] = Mi[j - 1] * tr[i - 1, MY] + \
+                    Yi[j - 1] * tr[i - 1, YY]
+            M, X, Y = Mi, Xi, Yi
+        out[p] = np.log10(max((M[1:].sum() + X[1:].sum()),
+                              np.finfo(np.float64).tiny)) - \
+            pairhmm.LOG10_IC_F64
+    return out
+
+
+def test_f64_batched_matches_scalar(rng):
+    """Vectorized forward_f64 vs the scalar loop it replaced: agreement
+    to f64 summation-order tolerance on mixed-length cases."""
+    reads, rlens, q, iq, dq, cq, haps, hlens = _random_cases(rng, 12)
+    ph2pr = 10.0 ** (-np.arange(128) / 10.0)
+    pq64 = ph2pr[np.clip(q, 0, 127)]
+    tr64 = pairhmm.transitions(iq, dq, cq, np.float64)
+    got = pairhmm.forward_f64(reads, rlens, pq64, tr64, haps, hlens)
+    want = _scalar_f64(reads, rlens, pq64, tr64, haps, hlens)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_doubling_cap_is_exact(rng):
+    """With gap-continuation quals >= 8, truncating the in-row scan at
+    6 doublings is bit-exact: every later doubling multiplies by
+    t_yy^(2^d) which rounds to f32 0.0 (pairhmm.doubling_cap)."""
+    reads, rlens, q, iq, dq, cq, haps, hlens = _random_cases(
+        rng, 8, rmax=40, hmax=200)    # H=200 -> 8 uncapped doublings
+    assert pairhmm.doubling_cap(cq) == 6
+    ph2pr = (10.0 ** (-np.arange(128) / 10.0)).astype(np.float32)
+    pq = ph2pr[np.clip(q, 0, 127)]
+    tr = pairhmm.transitions(iq, dq, cq, np.float32)
+    import jax.numpy as jnp
+    args = (jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(pq),
+            jnp.asarray(tr), jnp.asarray(haps), jnp.asarray(hlens))
+    o_full, a_full = pairhmm.forward_f32(*args)
+    o_cap, a_cap = pairhmm.forward_f32(*args, n_doubling_cap=6)
+    np.testing.assert_array_equal(np.asarray(a_full), np.asarray(a_cap))
+    np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_cap))
+    assert pairhmm.doubling_cap(np.full((2, 4), 5)) is None
