@@ -65,6 +65,73 @@ def _sim_fastq(path, pref_codes, n_reads, L, rng):
                     f"{'I' * L}\n")
 
 
+def _sim_paired_fastq(p1, p2, pref_codes, n_pairs, L, rng):
+    """FR pairs, insert ~N(350, 50) (the reference mem_pestat regime,
+    bwamem_pair.cpp): r1 forward at pos, r2 = revcomp of the fragment
+    end."""
+    from fgdp_tpu.utils import dna
+
+    n_ref = len(pref_codes)
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(n_pairs):
+            ins = int(np.clip(rng.normal(350, 50), 2 * L + 10, 600))
+            p = int(rng.integers(0, n_ref - ins - 1))
+            frag = pref_codes[p:p + ins]
+            r1 = frag[:L].copy()
+            r2 = (3 - frag[-L:][::-1]).copy()
+            for r in (r1, r2):
+                m = rng.random(L) < 0.01
+                r[m] = rng.integers(0, 4, int(m.sum()))
+            f1.write(f"@p{i}\n{dna.decode(r1.astype(np.uint8))}\n+\n"
+                     f"{'I' * L}\n")
+            f2.write(f"@p{i}\n{dna.decode(r2.astype(np.uint8))}\n+\n"
+                     f"{'I' * L}\n")
+
+
+def bench_mutect(smoke=False):
+    """Caller throughput on the golden tumor/normal fixture: active
+    regions/s, serial (region_workers=0) vs pooled (the round-3 region
+    worker pool, engine.py call_windows) — the reference's N-thread
+    region scheduler analogue (main.cpp:195-307)."""
+    import pathlib
+
+    from fgdp_tpu.call.engine import Mutect2Engine
+    from fgdp_tpu.cli import _bam_to_read_dicts
+    from fgdp_tpu.io.fasta import read_fasta
+
+    gold = pathlib.Path(__file__).parent / "tests" / "golden" / "mutect"
+    if not gold.exists():
+        return None
+    ref = read_fasta(str(gold / "ref.fa"))
+    _, _, tumor = _bam_to_read_dicts(str(gold / "tumor.bam"))
+    _, _, normal = _bam_to_read_dicts(str(gold / "normal.bam"))
+
+    def run(workers):
+        t0 = time.perf_counter()
+        nreg = ncalls = 0
+        for cid, cname in enumerate(ref.names):
+            codes = ref.contig_codes(cid)
+            t = [r for r in tumor if r["rid"] == cid]
+            nr = [r for r in normal if r["rid"] == cid]
+            if not t:
+                continue
+            eng = Mutect2Engine(codes, cname, region_workers=workers)
+            try:
+                ncalls += len(eng.call(t, nr))
+            finally:
+                eng.close()
+            nreg += eng.n_regions
+        return nreg, ncalls, time.perf_counter() - t0
+
+    workers = max((os.cpu_count() or 4) - 1, 1)
+    run(0)                                   # warmup/compile pass
+    nreg, ncalls, dt_serial = run(0)
+    _, _, dt_pooled = run(workers)
+    return dict(regions=nreg, calls=ncalls,
+                serial_rps=nreg / dt_serial,
+                pooled_rps=nreg / dt_pooled, workers=workers)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -168,6 +235,45 @@ def main():
     print(f"e2e align+sort+markdup: {e2e_rps:.0f} reads/s/chip "
           f"({e2e_n} reads, {dt_e2e:.1f}s, {workers} finalize workers, "
           f"{ndup} dups)", file=sys.stderr)
+
+    # ---- PE e2e (secondary, stderr): pairing + kswv mate rescue in
+    # the measured surface (bwamem_pair.cpp:614 analogue) ----
+    try:
+        pe_pairs = (2 if smoke else 8) * B // 2
+        fq1w = os.path.join(tmpd, "pe1w.fq")
+        fq2w = os.path.join(tmpd, "pe2w.fq")
+        fq1 = os.path.join(tmpd, "pe1.fq")
+        fq2 = os.path.join(tmpd, "pe2.fq")
+        _sim_paired_fastq(fq1w, fq2w, pref.codes, pe_pairs, L, rng)
+        _sim_paired_fastq(fq1, fq2, pref.codes, pe_pairs, L, rng)
+        pool = FinalizePool(pref_path, opt, workers)
+        out_pe = os.path.join(tmpd, "out_pe.bam")
+        try:
+            stream_fastq_to_bam(aligner, _read_batches([fq1w, fq2w], B),
+                                out_pe, paired=True, pool=pool, depth=3)
+            t0 = time.perf_counter()
+            n_pe, (nrec_pe, _) = stream_fastq_to_bam(
+                aligner, _read_batches([fq1, fq2], B), out_pe,
+                paired=True, pool=pool, depth=3)
+            dt_pe = time.perf_counter() - t0
+        finally:
+            pool.shutdown()
+        print(f"pe e2e align+pair+sort+markdup: {n_pe/dt_pe:.0f} "
+              f"reads/s/chip ({n_pe} reads, {dt_pe:.1f}s)",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"pe bench failed: {e}", file=sys.stderr)
+
+    # ---- Mutect2 caller regions/s (secondary, stderr) ----
+    try:
+        mt = bench_mutect(smoke=smoke)
+        if mt:
+            print(f"mutect: {mt['pooled_rps']:.1f} regions/s pooled "
+                  f"({mt['workers']} workers) vs {mt['serial_rps']:.1f} "
+                  f"serial ({mt['regions']} regions, {mt['calls']} "
+                  f"calls, golden fixture)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"mutect bench failed: {e}", file=sys.stderr)
 
     # ---- PairHMM GCUPS (secondary metric, stderr) ----
     try:

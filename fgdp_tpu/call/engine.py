@@ -541,6 +541,7 @@ class Mutect2Engine:
         cfg = self.cfg
         n = len(self.ref)
         self.callable_sites = 0
+        self.n_regions = 0          # active assembly regions processed
         calls = []
 
         # pipelined regions: dispatch region i's PairHMM, assemble the
@@ -584,6 +585,7 @@ class Mutect2Engine:
             for reg in regions:
                 if not reg.is_active:
                     continue
+                self.n_regions += 1
                 if pool is not None:
                     span = (reg.padded_start, reg.padded_end)
                     prep_q.append(pool.submit(

@@ -124,9 +124,62 @@ def align(prefix, n_reads, batch=4096, paired=False):
 
 
 def sortdup(prefix, n_rec):
-    from fgdp_tpu.sortdup.driver import sort_markdup_stream_test
-    print("see tests/test_sortdup.py mmap path; timing inline here",
+    """Config-3-class sortdup: n_rec synthetic paired SAM records over
+    the chr20-scale contig -> mmap-streaming sort + markdup + BGZF/BAI
+    (sortdup/driver.sort_markdup_file), timed. ~15% of pairs are
+    duplicates (shared 5' coordinates), Illumina-style QNAMEs so the
+    tile/X/Y optical tie-break runs."""
+    from fgdp_tpu.index.reference import PackedReference
+    from fgdp_tpu.sortdup.driver import sort_markdup_file
+
+    pref = PackedReference.load(prefix + ".ref")
+    ref_len = int(pref.lens[0])
+    sam = "/tmp/scale/big.sam"
+    rng = np.random.default_rng(3)
+    n_pairs = n_rec // 2
+    t0 = time.time()
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        f.write(f"@SQ\tSN:{pref.names[0]}\tLN:{ref_len}\n")
+        seq = "A" * 100
+        qual = "I" * 100
+        done = 0
+        chunk = 200_000
+        while done < n_pairs:
+            m = min(chunk, n_pairs - done)
+            # ~15% duplicates: a duplicate needs BOTH 5' ends equal
+            # (DoublePair key), so draw (pos1, insert) jointly from a
+            # 0.85x pool of fragments
+            pool = max(int(m * 0.85), 1)
+            fpos = rng.integers(1, ref_len - 600, pool)
+            fins = rng.integers(250, 450, pool)
+            pick = rng.integers(0, pool, m)
+            pos1 = fpos[pick]
+            ins = fins[pick]
+            pos2 = pos1 + ins - 100
+            tile = rng.integers(1, 100, m)
+            xs = rng.integers(1, 30000, m)
+            ys = rng.integers(1, 30000, m)
+            rows = []
+            for i in range(m):
+                q = f"SC:{done+i}:FC:1:{tile[i]}:{xs[i]}:{ys[i]}"
+                p1, p2, il = int(pos1[i]), int(pos2[i]), int(ins[i])
+                rows.append(f"{q}\t99\t{pref.names[0]}\t{p1}\t60\t100M"
+                            f"\t=\t{p2}\t{il}\t{seq}\t{qual}")
+                rows.append(f"{q}\t147\t{pref.names[0]}\t{p2}\t60\t100M"
+                            f"\t=\t{p1}\t{-il}\t{seq}\t{qual}")
+            f.write("\n".join(rows) + "\n")
+            done += m
+    gen_t = time.time() - t0
+    sz = os.path.getsize(sam) / 1e9
+    print(f"generated {n_rec} records ({sz:.2f} GB): {gen_t:.1f}s",
           file=sys.stderr)
+    t0 = time.time()
+    n, ndup = sort_markdup_file(sam, "/tmp/scale/big.bam",
+                                compress_level=6)
+    dt = time.time() - t0
+    print(f"SCALE SORTDUP: {n} records in {dt:.1f}s = {n/dt:.0f} "
+          f"records/s ({ndup} duplicate pairs)", file=sys.stderr)
 
 
 if __name__ == "__main__":
