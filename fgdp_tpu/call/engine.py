@@ -116,19 +116,14 @@ def _read_hmm_quals(rd, pcr_cache):
     return cached
 
 
-def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
-    """Dispatch the device PairHMM for a [H, R] log10 matrix; returns a
-    collect() thunk so the caller can overlap host work (the next
-    region's assembly) with the device pass — the TPU analogue of the
-    reference's region/PairHMM work-steal overlap (main.cpp:367-423).
-
-    Reads identical after quality modification share one computed
-    column — the reference's read dedup (VectorLoglessPairHMM.cpp:
-    53-114, which also dedups the processed reads)."""
+def _pairhmm_job(reads, haps, pcr_cache=None):
+    """Build one region's (read, hap) pair arrays (after read dedup) or
+    None when empty. Returns dict with arrays at native rmax/hmax plus
+    the [H, R] reassembly info."""
     H = len(haps)
     R = len(reads)
     if H == 0 or R == 0:
-        return lambda: np.zeros((H, R))
+        return None
     quals3 = [_read_hmm_quals(rd, pcr_cache) for rd in reads]
     keys = {}
     rep = []          # unique read indices
@@ -143,13 +138,12 @@ def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
             keys[k] = len(rep)
             col_of[i] = len(rep)
             rep.append(i)
-    if len(rep) < R:
-        inner = _pairhmm_matrix_async([reads[i] for i in rep], haps,
-                                      pcr_cache)
-        return lambda: inner()[:, col_of]
-    rmax = max(len(r["seq_codes"]) for r in reads)
+    ureads = [reads[i] for i in rep]
+    uquals3 = [quals3[i] for i in rep]
+    Ru = len(ureads)
+    rmax = max(len(r["seq_codes"]) for r in ureads)
     hmax = max(len(h) for h in haps)
-    NP = H * R
+    NP = H * Ru
     r_arr = np.zeros((NP, rmax), np.int32)
     h_arr = np.zeros((NP, hmax), np.int32)
     rlens = np.zeros(NP, np.int32)
@@ -160,7 +154,7 @@ def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
     cq = np.full((NP, rmax), DEFAULT_GCP, np.int32)
     p = 0
     for h in haps:
-        for rd, (mq, miq, mdq) in zip(reads, quals3):
+        for rd, (mq, miq, mdq) in zip(ureads, uquals3):
             n = len(rd["seq_codes"])
             r_arr[p, :n] = rd["seq_codes"]
             q[p, :n] = mq
@@ -170,9 +164,116 @@ def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
             h_arr[p, :len(h)] = h
             hlens[p] = len(h)
             p += 1
+    return dict(r=r_arr, h=h_arr, rl=rlens, hl=hlens, q=q, iq=iq,
+                dq=dq, cq=cq, H=H, R=R, Ru=Ru, col_of=col_of,
+                rmax=rmax, hmax=hmax)
+
+
+def _pairhmm_matrix_async(reads, haps, pcr_cache=None):
+    """Single-region dispatch (no cross-region batching); returns a
+    collect() thunk yielding the [H, R] log10 matrix. Reads identical
+    after quality modification share one computed column — the
+    reference's read dedup (VectorLoglessPairHMM.cpp:53-114)."""
+    job = _pairhmm_job(reads, haps, pcr_cache)
+    if job is None:
+        return lambda: np.zeros((len(haps), len(reads)))
     collect = pairhmm.compute_log_likelihoods_async(
-        r_arr, rlens, q, iq, dq, cq, h_arr, hlens)
-    return lambda: collect().reshape(H, R)
+        job["r"], job["rl"], job["q"], job["iq"], job["dq"], job["cq"],
+        job["h"], job["hl"])
+    return lambda: collect().reshape(job["H"], job["Ru"])[:, job["col_of"]]
+
+
+def _bucket(n, step):
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class PairHMMBatcher:
+    """Cross-region PairHMM batching: regions submit (read, hap) jobs;
+    the batcher pads them to bucketed (R, H) shapes and launches ONE
+    device pass per bucket over the concatenated pairs when flushed —
+    the device-wide analogue of the reference's global PairHMM task
+    queue (PairHMMConcurrentControl.h:38-53, where idle threads co-
+    compute any region's queued pair slices). Bucketing (R to 32s, H to
+    64s) bounds the number of compiled shapes; padding is free for the
+    kernel (dead rows freeze, dead columns are masked from the sum, and
+    the in-row scan depth is shape-independent under the cq>=8 cap).
+
+    submit() queues and returns a thunk; the thunk flushes the queue on
+    first use, so callers keep the dispatch-early/collect-late pattern.
+    `launches`/`regions_submitted` expose the batching ratio."""
+
+    def __init__(self, np_target: int = 8192):
+        self.np_target = np_target
+        self._queue = []          # (job, slot) pending
+        self._np_pending = 0
+        self.launches = 0
+        self.regions_submitted = 0
+
+    def submit(self, reads, haps, pcr_cache=None):
+        job = _pairhmm_job(reads, haps, pcr_cache)
+        if job is None:
+            return lambda: np.zeros((len(haps), len(reads)))
+        self.regions_submitted += 1
+        slot = {"collect": None, "off": 0}
+        self._queue.append((job, slot))
+        self._np_pending += job["H"] * job["Ru"]
+        if self._np_pending >= self.np_target:
+            self.flush()
+
+        def thunk():
+            if slot["collect"] is None:
+                self.flush()
+            flat = slot["collect"]()
+            off = slot["off"]
+            m = flat[off:off + job["H"] * job["Ru"]]
+            return m.reshape(job["H"], job["Ru"])[:, job["col_of"]]
+        return thunk
+
+    def flush(self):
+        if not self._queue:
+            return
+        groups = {}
+        for job, slot in self._queue:
+            key = (_bucket(job["rmax"], 32), _bucket(job["hmax"], 64))
+            groups.setdefault(key, []).append((job, slot))
+        self._queue = []
+        self._np_pending = 0
+        for (rb, hb), items in groups.items():
+            tot = sum(j["H"] * j["Ru"] for j, _ in items)
+            r_arr = np.zeros((tot, rb), np.int32)
+            h_arr = np.zeros((tot, hb), np.int32)
+            rlens = np.zeros(tot, np.int32)
+            hlens = np.zeros(tot, np.int32)
+            q = np.zeros((tot, rb), np.int32)
+            iq = np.full((tot, rb), DEFAULT_INDEL_QUAL, np.int32)
+            dq = np.full((tot, rb), DEFAULT_INDEL_QUAL, np.int32)
+            cq = np.full((tot, rb), DEFAULT_GCP, np.int32)
+            off = 0
+            for job, slot in items:
+                n = job["H"] * job["Ru"]
+                r_arr[off:off + n, :job["rmax"]] = job["r"]
+                h_arr[off:off + n, :job["hmax"]] = job["h"]
+                rlens[off:off + n] = job["rl"]
+                hlens[off:off + n] = job["hl"]
+                q[off:off + n, :job["rmax"]] = job["q"]
+                iq[off:off + n, :job["rmax"]] = job["iq"]
+                dq[off:off + n, :job["rmax"]] = job["dq"]
+                cq[off:off + n, :job["rmax"]] = job["cq"]
+                slot["off"] = off
+                off += n
+            collect = pairhmm.compute_log_likelihoods_async(
+                r_arr, rlens, q, iq, dq, cq, h_arr, hlens)
+            self.launches += 1
+
+            def cached(c=collect, box=[]):
+                # one device fetch + f64 fallback pass per LAUNCH, not
+                # per region slice
+                if not box:
+                    box.append(c())
+                return box[0]
+
+            for _, slot in items:
+                slot["collect"] = cached
 
 
 def _read_offset_at(rd, pos):
@@ -495,6 +596,13 @@ class Mutect2Engine:
         # profiling and drives the device PairHMM pipeline
         self.region_workers = region_workers
         self._region_pool = None
+        # cross-region PairHMM batching (PairHMMConcurrentControl.h
+        # analogue); FGDP_HMM_CROSSREGION=0 falls back to per-region
+        # dispatch for A/B measurement
+        import os as _os
+        self._hmm_batcher = None \
+            if _os.environ.get("FGDP_HMM_CROSSREGION") == "0" \
+            else PairHMMBatcher()
 
     def _get_region_pool(self):
         if self._region_pool is None and self.region_workers > 0:
@@ -549,7 +657,9 @@ class Mutect2Engine:
         # order. Depth > 1 keeps several small regions in flight (the
         # reference's device-wide PairHMM batching analogue).
         import collections
-        DEPTH = 3
+        # deeper pipeline under cross-region batching: more regions in
+        # flight -> more jobs per flushed launch
+        DEPTH = 6 if self._hmm_batcher is not None else 3
         pending = collections.deque()
         pool = self._get_region_pool()
         prep_q = collections.deque()
@@ -615,12 +725,17 @@ class Mutect2Engine:
 
 
     def _dispatch_region(self, prep):
-        """Device stage: async PairHMM dispatch for both samples."""
-        t_fut = _pairhmm_matrix_async(prep["t_reads"], prep["hap_bases"],
-                                      self._pcr_cache)
-        n_fut = _pairhmm_matrix_async(prep["n_reads"], prep["hap_bases"],
-                                      self._pcr_cache) \
-            if prep["n_reads"] else None
+        """Device stage: async PairHMM dispatch for both samples —
+        queued into the cross-region batcher (tumor and normal jobs of
+        several regions ride one bucketed launch) or dispatched
+        per-region when batching is off."""
+        if self._hmm_batcher is not None:
+            sub = self._hmm_batcher.submit
+        else:
+            sub = _pairhmm_matrix_async
+        t_fut = sub(prep["t_reads"], prep["hap_bases"], self._pcr_cache)
+        n_fut = sub(prep["n_reads"], prep["hap_bases"],
+                    self._pcr_cache) if prep["n_reads"] else None
         return t_fut, n_fut
 
     def _finish_region(self, prep, futs):
