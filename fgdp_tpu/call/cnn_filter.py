@@ -187,18 +187,22 @@ class CnnFilter:
             out = self.model(t)
         return float(out[0][0]) > THRESHOLD
 
-    def is_germline_or_noise(self, ref_codes, tumor_reads, normal_reads,
-                             vc_pos) -> bool:
-        """Single-variant gate (True => germline/noise)."""
+    def is_somatic(self, ref_codes, tumor_reads, normal_reads,
+                   vc_pos) -> bool:
+        """Single-variant classify (True => confident somatic, the
+        polarity of model.cpp:516-527's `classify`)."""
         inputs, _, _ = self.features(ref_codes, tumor_reads,
                                      normal_reads, vc_pos)
         return self.classify(inputs)
 
     def gate_region(self, ref_codes, tumor_reads, normal_reads,
                     events) -> bool:
-        """modelRefer's per-region loop (model.cpp:435-500): variants in
-        position order, each classified unless inside the previous
-        variant's padded window; True = skip the whole region."""
+        """modelRefer (model.cpp:409-500): variants in position order,
+        each classified unless inside the previous variant's padded
+        window; True as soon as ANY variant classifies somatic = KEEP
+        the region (the engine skips the region when this returns
+        False, matching `if (!modelRefer) return {}`,
+        Mutect2Engine.cpp:216-221)."""
         position = 0
         for pos in sorted(events):
             if position > pos:                # vc end ~ pos for SNVs

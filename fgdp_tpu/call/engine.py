@@ -540,13 +540,16 @@ def _prepare_region_impl(ref, cfg, cnn, reg, t_reads, n_reads):
         if not t_reads:
             return None
 
-    # CNN gate ("deep" mode): dense regions the classifier deems
-    # germline/noise are skipped wholesale (main.cpp:213-221);
-    # per-region variant scan with padded-window skip
-    # (model.cpp:435-500)
+    # CNN gate ("deep" mode): dense regions where NO candidate variant
+    # classifies as somatic are skipped wholesale
+    # (Mutect2Engine.cpp:213-221: `if (!mymodel.modelRefer(...))
+    # return {}` — modelRefer TRUE means keep). Round 4 fixed an
+    # inverted polarity here (the engine used to skip exactly the
+    # regions the model called somatic); the decision-level A/B vs the
+    # binary is tests/test_cnn_gate.py::test_gate_ab_vs_binary.
     if cnn is not None and len(t_reads) > 100:
-        if cnn.gate_region(ref, t_reads, n_reads,
-                           [pos for (pos, _, _) in all_events]):
+        if not cnn.gate_region(ref, t_reads, n_reads,
+                               [pos for (pos, _, _) in all_events]):
             return None
     return dict(reg=reg, span=span, ref_seg=ref_seg, t_reads=t_reads,
                 n_reads=n_reads, haps=haps, hap_bases=hap_bases,

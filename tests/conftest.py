@@ -22,7 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache: the parity suites re-jit large programs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_fgdp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 

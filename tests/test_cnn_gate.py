@@ -3,6 +3,7 @@ insertion padding, gap rows, window re-cut, and the modelRefer
 padded-window skip."""
 
 import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -130,3 +131,49 @@ def test_model_classify_runs():
                      rng.integers(0, 4, 60)) for _ in range(120)]
     out = f.gate_region(ref, reads, reads[:40], [200])
     assert out in (True, False)
+
+
+GOLD_CNN = pathlib.Path(__file__).parent / "golden" / "mutect_cnn"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(TRANS_PT),
+                    reason="reference trans.pt unavailable")
+def test_gate_ab_vs_binary(tmp_path):
+    """Decision-level A/B vs the compiled binary (model.cpp:516-527
+    classify + Mutect2Engine.cpp:213-221 gate): on the 120x fixture the
+    binary's gated run (golden_gate.vcf, produced with -M trans.pt)
+    kept exactly the sites of its ungated run; OUR caller with
+    --deep-model must reproduce the same gated site set, i.e. the same
+    keep/drop decision for every >100-read region. (Round 4 found and
+    fixed an inverted gate polarity through this fixture: the engine
+    used to DROP every region the model called somatic.)"""
+    import subprocess
+    import sys as _sys
+
+    def sites(path):
+        return {tuple(l.split("\t")[:2] + l.split("\t")[3:5])
+                for l in pathlib.Path(path).read_text().splitlines()
+                if l and not l.startswith("#")}
+
+    gold_no = sites(GOLD_CNN / "golden_nogate.vcf")
+    gold_gate = sites(GOLD_CNN / "golden_gate.vcf")
+
+    def run(deep):
+        out = tmp_path / ("m.vcf" if deep else "nom.vcf")
+        cmd = [_sys.executable, "-m", "fgdp_tpu", "mutect",
+               "-R", str(GOLD_CNN / "ref.fa"),
+               "-I", str(GOLD_CNN / "tumor.bam"),
+               "-N", str(GOLD_CNN / "normal.bam"), "-O", str(out)]
+        if deep:
+            cmd += ["--deep-model", TRANS_PT]
+        subprocess.run(cmd, check=True, timeout=2400,
+                       cwd=str(pathlib.Path(__file__).parents[1]))
+        return sites(out)
+
+    mine_no = run(False)
+    mine_gate = run(True)
+    assert mine_no == gold_no
+    assert mine_gate == gold_gate
+    # the gate's keep/drop delta matches the binary's exactly
+    assert (gold_no - gold_gate) == (mine_no - mine_gate)
