@@ -55,7 +55,10 @@ class ChainBatch(NamedTuple):
     kept: jax.Array        # int32[B, C] 0=dropped 1/2/3 per mem_chain_flt
     n_chains: jax.Array    # int32[B]
     frac_rep: jax.Array    # float32[B]
-    overflow: jax.Array    # bool[B]
+    overflow: jax.Array    # bool[B] any-stage overflow (seed | chain)
+    ovf_seed: jax.Array    # bool[B] seed-stage overflow alone: these
+    # reads need the full escalated re-run; chain-only overflow reads
+    # only need wider chain/extend shapes (pipeline._retry_overflow)
     # flat (read-major) copy of the expanded seeds, [NJ] lanes: lets the
     # extension driver build its job list with NJ-row gathers instead of
     # [B, P]-row scatters (the former job build was ~60% of extend)
@@ -198,7 +201,8 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
             pos=st["pos"], rid=st["crid"], first_q=st["fq"],
             first_r=st["fr"], last_q=st["lq"], last_r=st["lr"],
             last_len=st["ll"], n_seeds=st["ns"], weight=weight, kept=kept,
-            n_chains=st["n"], frac_rep=frac_rep, overflow=st["ovf"],
+            n_chains=st["n"], frac_rep=frac_rep, overflow=st["ovf"] | smems.overflow,
+            ovf_seed=smems.overflow,
             fread=flat["read"], fslot=flat["slot"], fqbeg=flat["qbeg"],
             frbeg=flat["rbeg"], fslen=flat["slen"], fon=flat["on"],
         )
@@ -316,7 +320,8 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         pos=st["pos"], rid=st["crid"], first_q=st["fq"], first_r=st["fr"],
         last_q=st["lq"], last_r=st["lr"], last_len=st["ll"],
         n_seeds=st["ns"], weight=weight, kept=kept, n_chains=st["n"],
-        frac_rep=frac_rep, overflow=st["ovf"],
+        frac_rep=frac_rep, overflow=st["ovf"] | smems.overflow,
+        ovf_seed=smems.overflow,
         fread=flat["read"], fslot=flat["slot"], fqbeg=flat["qbeg"],
         frbeg=flat["rbeg"], fslen=flat["slen"], fon=flat["on"],
     )

@@ -42,7 +42,8 @@ class AlnRegBatch(NamedTuple):
     seedlen0: jax.Array
     frac_rep: jax.Array  # float32[B] (per read)
     valid: jax.Array     # bool[B, E]
-    overflow: jax.Array  # bool[B] (more jobs than E slots)
+    overflow: jax.Array  # bool[B] any-stage overflow
+    ovf_seed: jax.Array  # bool[B] seed-stage overflow (see ChainBatch)
 
 
 def _cal_max_gap(opt: AlignConfig, qlen):
@@ -262,5 +263,11 @@ def extend_chains(cb: ChainBatch, codes, lens, dref: DeviceReference,
         score=jnp.where(jvalid, score, -1),
         truesc=jnp.where(jvalid, truesc, -1),
         sw_w=sw_w, seedcov=seedcov, seedlen0=jlen,
-        frac_rep=cb.frac_rep, valid=jvalid, overflow=overflow,
+        frac_rep=cb.frac_rep, valid=jvalid,
+        # seed- and chain-stage overflow must ride to the host
+        # escalation ladder too (round 4: these flags were
+        # silently dropped here — repeat-dense reads lost seeds
+        # without retry; tests/test_e2e_align.py::test_overflow_propagates)
+        overflow=overflow | cb.overflow,
+        ovf_seed=cb.ovf_seed,
     )

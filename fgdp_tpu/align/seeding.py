@@ -35,7 +35,9 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
                   opt: AlignConfig, max_seeds: int, prev_cap: int = 20,
                   k2_per_read: int = 2, lane_emit_cap: int = 16,
                   use_sweep: bool = True, scale: int = 1,
-                  lcp_tree=None, lcp_isa=None) -> SeedBatch:
+                  lcp_tree=None, lcp_isa=None,
+                  k1_emit_cap: int | None = None,
+                  k3_emit_cap: int | None = None) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -60,14 +62,15 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # batch size into the large-N gather plateau (the wave machine is
     # flat in B). use_sweep=False falls back to the wave machine
     # (ops/smem.py), which the sweep is parity-tested against. ---
-    # Internal emit buffers are kept narrow: the machines' _append_seed
-    # one-hots pay O(B x S) bandwidth EVERY while step (profiled 10.5 ms
-    # of the 118 ms device program at S=160), while typical reads emit
-    # <10 K1 SMEMs and <10 K3 seeds. A read overflowing the narrow cap
-    # flags overflow and rides the escalation ladder, which scales the
-    # caps back up via `scale`.
-    s_k1 = min(64 * scale, max_seeds)
-    s_k3 = min(32 * scale, max_seeds)
+    # Emit-buffer widths: the machines' _append_seed one-hots pay
+    # O(B x S) bandwidth EVERY while step, so narrower buffers are
+    # faster — but a read overflowing its cap escalates (full re-run at
+    # 2x shapes), and on repeat-rich genomes narrow caps make that the
+    # common case (BatchShapes.k1_emit_cap notes). Default: full width.
+    s_k1 = min(k1_emit_cap * scale, max_seeds) if k1_emit_cap \
+        else max_seeds
+    s_k3 = min(k3_emit_cap * scale, max_seeds) if k3_emit_cap \
+        else max_seeds
     if lcp_tree is not None:
         # single-pass LCP-tree engine (ops/smem_lcp.py) — the LISA
         # all_SMEMs analogue; same SMEM set as the sweep (parity-tested),
@@ -121,10 +124,13 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     if use_sweep:
         # walk=False: K2 min_intv = occ + 1 >= 2, the s==1 walk branch
         # cannot trigger
+        # bwd_mult 16: the shared backward-lane pool was the dominant
+        # K2-side overflow on the chr20-scale genome (drop_ovf 2000 ->
+        # 870 of 4096 reads at 16; saturated beyond — probe_overflow.py)
         seeds = sweepops.smem_lanes_sweep(
             dfm, dref.codes16, codes, lens, k_read, job_x, job_mi, k_on,
             opt.min_seed_len, prev_cap, B, s_k1, into=seeds,
-            entry_cap=prev_cap + 2, bwd_mult=8 * scale, walk=False)
+            entry_cap=prev_cap + 2, bwd_mult=16 * scale, walk=False)
     else:
         k2lanes, _ = smemops.smem_one_pos_lanes(
             dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x,

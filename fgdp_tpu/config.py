@@ -102,6 +102,20 @@ class BatchShapes:
     # overflow-escalation ladder multiplies this along with the buffer
     # bounds below (Aligner._retry_overflow)
     max_smems: int = 160         # SMEM buffer slots per read
+    # seeding-machine emit-buffer widths (None = max_smems). Narrow
+    # buffers cut the per-while-step one-hot append bandwidth (~10 ms
+    # of a 118 ms 500 kb batch at 64/32) but on repeat-rich genomes
+    # half the reads exceed them and escalate (measured 50% overflow on
+    # the chr20-scale campaign at 64/32 vs 2.5% at 160) — generous is
+    # the production default; the caps stay tunable for uniform
+    # workloads
+    k1_emit_cap: int | None = None
+    k3_emit_cap: int | None = None
+    # flat-pool sizing overrides for escalated programs (0 = derive
+    # from seed_scale as before): chain-stage job pool entries per read
+    # and extension SW lanes per read
+    jobs_pool_per_read: int = 0
+    ext_jobs_per_read: int = 0
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read
     max_regs: int = 48           # extension jobs / alignment regions per read

@@ -32,15 +32,18 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
     seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
                           max_seeds=shapes.max_smems, prev_cap=20,
                           scale=shapes.seed_scale,
-                          lcp_tree=lcp_tree, lcp_isa=lcp_isa)
+                          lcp_tree=lcp_tree, lcp_isa=lcp_isa,
+                          k1_emit_cap=shapes.k1_emit_cap,
+                          k3_emit_cap=shapes.k3_emit_cap)
     # flat-job pool sizing: the pool is shared first-come-first-served,
     # so a repeat read expanding to max_occ jobs must not starve later
     # reads of ALL seeds (observed: Alu-dense batches left the batch
     # tail with zero chains). Primary budget = 32 jobs/read average;
     # escalated programs (small B_esc) afford the per-read worst case.
     B_cur = codes.shape[0]
-    jobs_cap = B_cur * (32 if shapes.seed_scale == 1
-                        else shapes.max_seeds)
+    jobs_cap = B_cur * (shapes.jobs_pool_per_read
+                        or (32 if shapes.seed_scale == 1
+                            else shapes.max_seeds))
     cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
                               max_seedpos=shapes.max_seeds,
                               max_chains=shapes.max_chains,
@@ -48,7 +51,8 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
     regs = extendmod.extend_chains(cb, codes, lens, dref, opt,
                                    max_regs=shapes.max_regs,
                                    t_max=shapes.max_ext_ref,
-                                   jobs_per_read=6 * shapes.seed_scale)
+                                   jobs_per_read=shapes.ext_jobs_per_read
+                                   or 6 * shapes.seed_scale)
     return compact_regs(regs, shapes.transfer_regs)
 
 
@@ -221,15 +225,35 @@ class Aligner:
         return out
 
     def _escalated_shapes(self, level: int):
+        """Full escalation (seed-stage overflow): every cap doubles per
+        level, incl. the seeding-internal pools via seed_scale; the
+        chain seed-position table gets an extra 2x — repeat-dense reads
+        measured up to ~1k expanded seed positions (chr20 campaign)."""
         import dataclasses as _dc
         f = 2 ** level
         s = self.shapes
         return _dc.replace(s, max_smems=s.max_smems * f,
-                           max_seeds=s.max_seeds * f,
+                           max_seeds=s.max_seeds * 2 * f,
                            max_chains=s.max_chains * f,
                            max_regs=s.max_regs * f,
                            transfer_regs=s.transfer_regs * f,
                            seed_scale=s.seed_scale * f)
+
+    def _chain_wide_shapes(self, level: int):
+        """Targeted escalation for reads whose SEEDING fit but whose
+        chain/extension/transfer stages overflowed (the majority class
+        on repeat-rich genomes: ~2/3 of escalations in the chr20
+        campaign): seeding reruns at 1x cost, only the chain table,
+        job pools, and reg slots widen."""
+        import dataclasses as _dc
+        f = 2 ** level
+        s = self.shapes
+        return _dc.replace(s, max_seeds=s.max_seeds * 2 * f,
+                           max_chains=s.max_chains * f,
+                           max_regs=s.max_regs * f,
+                           transfer_regs=s.transfer_regs * f,
+                           jobs_pool_per_read=s.max_seeds * 2 * f,
+                           ext_jobs_per_read=6 * f)
 
     def _retry_overflow(self, regs_np, seq_codes):
         """Re-run overflowed reads through progressively wider device
@@ -250,58 +274,84 @@ class Aligner:
         regs_np = {k: np.array(v) for k, v in regs_np.items()}
         ovf = regs_np["overflow"]
         idx = np.flatnonzero(np.asarray(ovf))
+        # cause routing: reads whose seeding-stage pools overflowed need
+        # the full re-run (wider seeding machines); reads that only
+        # overflowed chain/extension/transfer re-run with 1x seeding
+        # and wide chain shapes — about half the escalated device work
+        # on repeat-rich genomes
+        seed_flag = np.asarray(regs_np.get(
+            "ovf_seed", np.zeros(len(ovf), bool))).copy()
+        # escalation accounting (scale campaigns report these)
+        self.esc_reads = getattr(self, "esc_reads", 0) + len(idx)
+        self.esc_calls = getattr(self, "esc_calls", 0)
         B = len(ovf)
         L = self.shapes.read_len
-        for level in range(1, self.ESCALATE_LEVELS + 1):
-            # escalated programs run at a SMALL static batch sized to
-            # the overflow population (repeat-dense workloads overflow
-            # a steady few % of reads: re-running them in the full-B
-            # widened program cost more than the primary align). ALL
-            # overflowed reads are covered in B_esc-sized chunks.
-            B_esc = 128
-            while B_esc < min(len(idx), 512):
-                B_esc *= 2
-            B_esc = min(B_esc, B)
-            fn = self._esc_fns.get((level, B_esc))
+
+        def get_fn(flavor, level, B_esc):
+            fn = self._esc_fns.get((flavor, level, B_esc))
             if fn is None:
                 import dataclasses as _dc
-                esh = _dc.replace(self._escalated_shapes(level),
-                                  batch_reads=B_esc)
+                base = self._escalated_shapes(level) if flavor == "full" \
+                    else self._chain_wide_shapes(level)
+                esh = _dc.replace(base, batch_reads=B_esc)
                 fn = jax.jit(functools.partial(
                     device_align, opt=self._dev_opt, shapes=esh))
-                self._esc_fns[(level, B_esc)] = fn
+                self._esc_fns[(flavor, level, B_esc)] = fn
+            return fn
+
+        for level in range(1, self.ESCALATE_LEVELS + 1):
             still = []
-            for c0 in range(0, len(idx), B_esc):
-                chunk = idx[c0:c0 + B_esc]
-                codes = np.full((B_esc, L), 4, np.int32)
-                lens = np.zeros(B_esc, np.int32)
-                active = np.zeros(B_esc, bool)
-                for j, b in enumerate(chunk):
-                    s = seq_codes[b]
-                    n = min(len(s), L)
-                    codes[j, :n] = np.asarray(s[:n], np.int32)
-                    lens[j] = n
-                    active[j] = True
-                sub = fn(self.dfm, self.dref, jnp.asarray(codes),
-                         jnp.asarray(lens), jnp.asarray(active),
-                         lcp_tree=self.lcp_tree, lcp_isa=self.lcp_isa)
-                sub_np = {k: np.asarray(v)
-                          for k, v in sub._asdict().items()}
-                E_new = sub_np["valid"].shape[1]
-                E_cur = regs_np["valid"].shape[1]
-                if E_new > E_cur:
-                    for k, v in regs_np.items():
-                        if v.ndim == 2:
-                            pad = np.zeros((B, E_new - E_cur), v.dtype)
-                            regs_np[k] = np.concatenate([v, pad], axis=1)
-                for j, b in enumerate(chunk):
-                    for k, v in regs_np.items():
-                        if v.ndim == 2:
-                            v[b] = sub_np[k][j]
-                    regs_np["overflow"][b] = sub_np["overflow"][j]
-                    if sub_np["overflow"][j]:
-                        still.append(b)
-            idx = np.asarray(still, dtype=np.int64)
+            for flavor in ("cw", "full"):
+                want = seed_flag[idx] if flavor == "full" \
+                    else ~seed_flag[idx]
+                sub_idx = idx[want]
+                if len(sub_idx) == 0:
+                    continue
+                B_esc = 128
+                while B_esc < min(len(sub_idx), 512):
+                    B_esc *= 2
+                B_esc = min(B_esc, max(B, 128))
+                fn = get_fn(flavor, level, B_esc)
+                for c0 in range(0, len(sub_idx), B_esc):
+                    self.esc_calls += 1
+                    chunk = sub_idx[c0:c0 + B_esc]
+                    codes = np.full((B_esc, L), 4, np.int32)
+                    lens = np.zeros(B_esc, np.int32)
+                    active = np.zeros(B_esc, bool)
+                    for j, b in enumerate(chunk):
+                        s = seq_codes[b]
+                        n = min(len(s), L)
+                        codes[j, :n] = np.asarray(s[:n], np.int32)
+                        lens[j] = n
+                        active[j] = True
+                    sub = fn(self.dfm, self.dref, jnp.asarray(codes),
+                             jnp.asarray(lens), jnp.asarray(active),
+                             lcp_tree=self.lcp_tree,
+                             lcp_isa=self.lcp_isa)
+                    sub_np = {k: np.asarray(v)
+                              for k, v in sub._asdict().items()}
+                    E_new = sub_np["valid"].shape[1]
+                    E_cur = regs_np["valid"].shape[1]
+                    if E_new > E_cur:
+                        for k, v in regs_np.items():
+                            if v.ndim == 2:
+                                pad = np.zeros((B, E_new - E_cur),
+                                               v.dtype)
+                                regs_np[k] = np.concatenate([v, pad],
+                                                            axis=1)
+                    for j, b in enumerate(chunk):
+                        for k, v in regs_np.items():
+                            if v.ndim == 2:
+                                v[b] = sub_np[k][j]
+                        regs_np["overflow"][b] = sub_np["overflow"][j]
+                        # a cw re-run that NOW flags seeding overflow
+                        # promotes to the full flavor next level
+                        seed_flag[b] = bool(
+                            sub_np.get("ovf_seed",
+                                       np.zeros(B_esc, bool))[j])
+                        if sub_np["overflow"][j]:
+                            still.append(b)
+            idx = np.asarray(sorted(still), dtype=np.int64)
             if len(idx) == 0:
                 break
         return regs_np

@@ -121,6 +121,9 @@ def align(prefix, n_reads, batch=4096, paired=False):
     esc = getattr(aligner, "_esc_fns", {})
     print(f"escalation levels compiled: {sorted(esc.keys())}",
           file=sys.stderr)
+    print(f"escalation: {getattr(aligner, 'esc_reads', 0)} reads in "
+          f"{getattr(aligner, 'esc_calls', 0)} escalated program calls",
+          file=sys.stderr)
 
 
 def sortdup(prefix, n_rec):

@@ -116,3 +116,51 @@ def test_e2e_unmapped(aligner):
     assert len(lines) >= 2
     for ln in lines:
         assert len(ln.split("\t")) >= 11
+
+
+def test_overflow_propagates():
+    """Seed- and chain-stage overflow flags must reach the final regs
+    (they were silently dropped before round 4, so repeat-dense reads
+    lost seeds without ever hitting the escalation ladder)."""
+    import jax.numpy as jnp
+
+    from fgdp_tpu.align import chain as chainmod
+    from fgdp_tpu.align import extend as extendmod
+    from fgdp_tpu.index.fmindex import FMIndex
+    from fgdp_tpu.index.reference import DeviceReference
+    from fgdp_tpu.ops.fm import DeviceFMIndex
+    from fgdp_tpu.ops.smem import SeedBatch
+
+    rng = np.random.default_rng(0)
+    pref = PackedReference.from_contigs(
+        ["c"], [rng.integers(0, 4, 4000).astype(np.uint8)])
+    fm = FMIndex.build(pref.codes)
+    dfm = DeviceFMIndex.from_host(fm)
+    dref = DeviceReference(pref)
+    opt = AlignConfig()
+    B, L, S = 4, 64, 8
+    codes = np.zeros((B, L), np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, 4000 - L))
+        codes[i] = pref.codes[p:p + L]
+    lens = jnp.full(B, L, jnp.int32)
+    # one valid seed per read (the read's true position), with the
+    # seed-stage overflow flag set on read 2 only
+    import jax
+    sa_of = {int(fm.sa[i]): i for i in range(len(fm.sa))}
+    seeds = SeedBatch(
+        m=jnp.zeros((B, S), jnp.int32),
+        n=jnp.full((B, S), L - 1, jnp.int32),
+        k=jnp.zeros((B, S), jnp.int32),
+        s=jnp.ones((B, S), jnp.int32),
+        count=jnp.ones(B, jnp.int32),
+        overflow=jnp.asarray([False, False, True, False]))
+    cb = chainmod.chain_seeds(dfm, dref, seeds, lens, opt,
+                              max_seedpos=16, max_chains=4,
+                              use_pallas=False)
+    assert bool(np.asarray(cb.overflow)[2])
+    regs = extendmod.extend_chains(cb, jnp.asarray(codes), lens, dref,
+                                   opt, max_regs=8, t_max=272)
+    got = np.asarray(regs.overflow)
+    assert bool(got[2])
+    assert not bool(got[0]) and not bool(got[1]) and not bool(got[3])
