@@ -182,6 +182,13 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
         except Exception:  # noqa: BLE001
             use_pallas = False
     if use_pallas:
+        from ..ops.chain_pallas import fits_vmem
+        if not fits_vmem(P, C):
+            # extreme escalated shapes: the VMEM-resident tile cannot
+            # fit even at the 128-lane minimum — run the (slower,
+            # bit-identical) jnp while loop instead
+            use_pallas = False
+    if use_pallas:
         # VMEM-resident chain loop (ops/chain_pallas.py): bit-identical
         # to the jnp while_loop below, but all seed steps run in one
         # launch instead of one HBM round-trip per step

@@ -145,8 +145,29 @@ def _kernel(qbeg_ref, rbeg_ref, slen_ref, rid_ref, valid_ref,
     ovf_ref[:] = sc[pl.ds(1, 1), :]
 
 
+def _fit_tile(P: int, C: int):
+    """Widest lane tile (>=128, Pallas' lane-dim minimum) whose modeled
+    VMEM stays under 6 MB — Mosaic double-buffers grid inputs/outputs,
+    so actual scoped use is ~2x the model (P=1024/C=128 OOMed at
+    16.01M against the 16M budget with a 12 MB model). Returns None
+    when even 128 lanes do not fit (extreme escalated shapes): the
+    caller then uses the jnp while-loop path."""
+    tile_b = TILE_B
+    while (5 * P + N_OUT * C + P) * tile_b * 4 \
+            + (N_FIELDS * C + 2) * tile_b * 4 > 6 * 2**20:
+        if tile_b <= 128:
+            return None
+        tile_b //= 2
+    return tile_b
+
+
+def fits_vmem(P: int, C: int) -> bool:
+    return _fit_tile(P, C) is not None
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("C", "w", "max_chain_gap", "interpret"))
+                   static_argnames=("C", "w", "max_chain_gap",
+                                    "interpret"))
 def chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow, l_pac,
                       C: int, w: int, max_chain_gap: int,
                       interpret: bool = False):
@@ -161,10 +182,9 @@ def chain_loop_pallas(qbeg, rbeg, slen, rid, valid, overflow, l_pac,
     # VMEM per grid step scales with P and C; the escalation ladder's
     # widened shapes (P=1024, C=256) need a narrower lane tile to stay
     # under the ~16 MB scoped budget (measured 20 MB at TILE_B=256)
-    tile_b = TILE_B
-    while tile_b > 8 and (5 * P + N_OUT * C + P) * tile_b * 4 \
-            + (N_FIELDS * C + 2) * tile_b * 4 > 12 * 2**20:
-        tile_b //= 2
+    tile_b = _fit_tile(P, C)
+    if tile_b is None:
+        raise ValueError("chain tile cannot fit VMEM at these shapes")
     pad = (-B) % tile_b
     if pad:
         zi = lambda a: jnp.pad(a, ((0, pad), (0, 0)))

@@ -214,11 +214,15 @@ def _native_pass2(buf, parsed, rid, pair_id, header: SamHeader,
         ucoord + parsed["ref_len"] + parsed["tail_clip"] - 1,
         ucoord - np.where(~rev, parsed["lead_clip"], 0))
 
-    dup_pids = _dup_pids(prime5, parsed["flag"], parsed["score"],
-                         parsed["tile"], parsed["tx"], parsed["ty"],
-                         pair_id, ref_len) if n else np.zeros(0, np.int64)
-    is_dup = np.isin(pair_id, dup_pids) if n else np.zeros(0, bool)
-    order = _sort_order_np(ucoord) if n else np.zeros(0, np.int64)
+    from ..utils.profiling import PROF
+    with PROF.phase("SD_DUPSCAN"):
+        dup_pids = _dup_pids(prime5, parsed["flag"], parsed["score"],
+                             parsed["tile"], parsed["tx"], parsed["ty"],
+                             pair_id, ref_len) if n \
+            else np.zeros(0, np.int64)
+        is_dup = np.isin(pair_id, dup_pids) if n else np.zeros(0, bool)
+    with PROF.phase("SD_SORT"):
+        order = _sort_order_np(ucoord) if n else np.zeros(0, np.int64)
     flags_out = np.where(is_dup, parsed["flag"] | FDUP,
                          parsed["flag"]).astype(np.int32)
 
@@ -231,26 +235,32 @@ def _native_pass2(buf, parsed, rid, pair_id, header: SamHeader,
         pending = hdr
         for lo in range(0, max(n, 1), batch_records):
             sel = order[lo:lo + batch_records]
-            if len(sel):
-                enc = native.encode_bam_records(
-                    buf, parsed["line_start"][sel],
-                    parsed["line_end"][sel], flags_out[sel], header.names)
-                if enc is None:
-                    return None
-                recs, rec_off, erid, epos, erlen = enc
-            else:
-                recs, rec_off, erid = b"", np.zeros(1, np.int64), []
+            with PROF.phase("SD_ENCODE"):
+                if len(sel):
+                    enc = native.encode_bam_records(
+                        buf, parsed["line_start"][sel],
+                        parsed["line_end"][sel], flags_out[sel],
+                        header.names)
+                    if enc is None:
+                        return None
+                    recs, rec_off, erid, epos, erlen = enc
+                else:
+                    recs, rec_off, erid = b"", np.zeros(1, np.int64), []
             payload = pending + recs
             base = u_off + len(pending)
-            comp, table = bgzf.compress_stream(payload, compress_level)
-            vmap = bgzf.VirtualOffsetMap(
-                [(u + u_off, c, ul) for (u, c, ul) in table],
-                base_coff=c_off)
-            voffs = vmap.voffsets(base + np.asarray(rec_off, np.int64))
-            for i in range(len(erid)):
-                bai.add(int(erid[i]), int(epos[i]),
-                        int(epos[i]) + int(erlen[i]),
-                        int(voffs[i]), int(voffs[i + 1]))
+            with PROF.phase("SD_BGZF"):
+                comp, table = bgzf.compress_stream(payload,
+                                                   compress_level)
+            with PROF.phase("SD_BAI"):
+                vmap = bgzf.VirtualOffsetMap(
+                    [(u + u_off, c, ul) for (u, c, ul) in table],
+                    base_coff=c_off)
+                voffs = vmap.voffsets(base +
+                                      np.asarray(rec_off, np.int64))
+                for i in range(len(erid)):
+                    bai.add(int(erid[i]), int(epos[i]),
+                            int(epos[i]) + int(erlen[i]),
+                            int(voffs[i]), int(voffs[i + 1]))
             fo.write(comp)
             u_off += len(payload)
             c_off += len(comp)
