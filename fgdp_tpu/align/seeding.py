@@ -37,7 +37,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
                   use_sweep: bool = True, scale: int = 1,
                   lcp_tree=None, lcp_isa=None,
                   k1_emit_cap: int | None = None,
-                  k3_emit_cap: int | None = None) -> SeedBatch:
+                  k3_emit_cap: int | None = None,
+                  k2_scale: int = 0) -> SeedBatch:
     """Returns per-read seed buffers sorted by (m, n); codes int32[B, L].
 
     K1 runs anchor-parallel: anchor positions are discovered by a light
@@ -53,8 +54,9 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     # depth, forward entry slots, and the batch-shared backward lane
     # pool all grow together, since any of them can starve a read on
     # repetitive references
-    prev_cap = prev_cap * scale
-    k2_per_read = k2_per_read * scale
+    k2s = k2_scale or scale       # K2 pools scale independently of K1
+    prev_cap = prev_cap * k2s
+    k2_per_read = k2_per_read * k2s
 
     # --- K1. Default: the self-restarting sweep + independent backward
     # entry lanes (ops/smem_sweep.py) — near-full lane occupancy, ~2
@@ -130,7 +132,7 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         seeds = sweepops.smem_lanes_sweep(
             dfm, dref.codes16, codes, lens, k_read, job_x, job_mi, k_on,
             opt.min_seed_len, prev_cap, B, s_k1, into=seeds,
-            entry_cap=prev_cap + 2, bwd_mult=16 * scale, walk=False)
+            entry_cap=prev_cap + 2, bwd_mult=16 * k2s, walk=False)
     else:
         k2lanes, _ = smemops.smem_one_pos_lanes(
             dfm, dref.codes, dref.l_pac, codes, lens, k_read, job_x,

@@ -116,6 +116,11 @@ class BatchShapes:
     # and extension SW lanes per read
     jobs_pool_per_read: int = 0
     ext_jobs_per_read: int = 0
+    # K2 re-seeding pool scale decoupled from seed_scale (0 = follow
+    # seed_scale): the dominant seed-stage escalation class on
+    # repeat-rich genomes is K2's prev/entry/backward pools, which can
+    # widen without re-running K1 at doubled rounds
+    k2_scale: int = 0
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read
     max_regs: int = 48           # extension jobs / alignment regions per read

@@ -34,7 +34,8 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                           scale=shapes.seed_scale,
                           lcp_tree=lcp_tree, lcp_isa=lcp_isa,
                           k1_emit_cap=shapes.k1_emit_cap,
-                          k3_emit_cap=shapes.k3_emit_cap)
+                          k3_emit_cap=shapes.k3_emit_cap,
+                          k2_scale=shapes.k2_scale)
     # flat-job pool sizing: the pool is shared first-come-first-served,
     # so a repeat read expanding to max_occ jobs must not starve later
     # reads of ALL seeds (observed: Alu-dense batches left the batch
@@ -239,6 +240,25 @@ class Aligner:
                            transfer_regs=s.transfer_regs * f,
                            seed_scale=s.seed_scale * f)
 
+    def _k2_wide_shapes(self, level: int):
+        """Targeted escalation for seed-stage overflow, which on
+        repeat-rich genomes is almost entirely K2's prev/entry/backward
+        pools (K1 itself overflowed 74 of 4096 reads on the chr20
+        campaign): K1 reruns at 1x rounds/cost, K2 pools widen 4x+, and
+        the chain/extend shapes widen like the chain-wide flavor. The
+        full everything-2x flavor remains the level-2 backstop."""
+        import dataclasses as _dc
+        f = 2 ** level
+        s = self.shapes
+        return _dc.replace(s, seed_scale=1, k2_scale=2 * f,
+                           max_smems=s.max_smems * f,
+                           max_seeds=s.max_seeds * 2 * f,
+                           max_chains=s.max_chains * f,
+                           max_regs=s.max_regs * f,
+                           transfer_regs=s.transfer_regs * f,
+                           jobs_pool_per_read=s.max_seeds * 2 * f,
+                           ext_jobs_per_read=6 * f)
+
     def _chain_wide_shapes(self, level: int):
         """Targeted escalation for reads whose SEEDING fit but whose
         chain/extension/transfer stages overflowed (the majority class
@@ -291,9 +311,10 @@ class Aligner:
             fn = self._esc_fns.get((flavor, level, B_esc))
             if fn is None:
                 import dataclasses as _dc
-                base = self._escalated_shapes(level) if flavor == "full" \
-                    else self._chain_wide_shapes(level)
-                esh = _dc.replace(base, batch_reads=B_esc)
+                mk = {"full": self._escalated_shapes,
+                      "k2w": self._k2_wide_shapes,
+                      "cw": self._chain_wide_shapes}[flavor]
+                esh = _dc.replace(mk(level), batch_reads=B_esc)
                 fn = jax.jit(functools.partial(
                     device_align, opt=self._dev_opt, shapes=esh))
                 self._esc_fns[(flavor, level, B_esc)] = fn
@@ -301,8 +322,12 @@ class Aligner:
 
         for level in range(1, self.ESCALATE_LEVELS + 1):
             still = []
-            for flavor in ("cw", "full"):
-                want = seed_flag[idx] if flavor == "full" \
+            # seed-stage overflow goes through the K1-cheap k2-wide
+            # flavor first; reads that STILL flag seed overflow get the
+            # full everything-wide program at the next level
+            seed_fl = "k2w" if level == 1 else "full"
+            for flavor in (seed_fl, "cw"):
+                want = seed_flag[idx] if flavor != "cw" \
                     else ~seed_flag[idx]
                 sub_idx = idx[want]
                 if len(sub_idx) == 0:
