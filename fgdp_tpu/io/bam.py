@@ -151,6 +151,83 @@ class BaiBuilder:
         m[1] = voff_end if m[1] is None else max(m[1], voff_end)
         m[2] += 1
 
+    def add_batch(self, rids, begs, ends, voff_begs, voff_ends):
+        """Vectorized add() over coordinate-ordered records (the 10M-
+        record sortdup campaign spends ~2 us/record in the scalar add);
+        per-record parity is tested (tests/test_sortdup.py)."""
+        rids = np.asarray(rids, np.int64)
+        begs = np.asarray(begs, np.int64)
+        ends = np.asarray(ends, np.int64)
+        vb = np.asarray(voff_begs, np.uint64)
+        ve = np.asarray(voff_ends, np.uint64)
+        no_coor = rids < 0
+        self.n_no_coor += int(no_coor.sum())
+        keep = ~no_coor
+        if not keep.any():
+            return
+        rids, begs, ends = rids[keep], begs[keep], ends[keep]
+        vb, ve = vb[keep], ve[keep]
+        e1 = np.maximum(ends - 1, begs)
+        # vectorized reg2bin (SAM spec 5.3): finest matching level wins
+        # (every hit is nonzero, so 0 doubles as both the unset marker
+        # and the no-level-matched whole-chromosome bin)
+        bins = np.full(len(begs), 0, np.int64)
+        for shift, base in ((14, 4681), (17, 585), (20, 73), (23, 9),
+                            (26, 1)):
+            hit = (begs >> shift) == (e1 >> shift)
+            bins = np.where((bins == 0) & hit, base + (begs >> shift),
+                            bins)
+        for rid in np.unique(rids):
+            m = rids == rid
+            r_bins, r_vb, r_ve = bins[m], vb[m], ve[m]
+            r_begs, r_e1 = begs[m], e1[m]
+            bdict = self.bins[rid]
+            for b in np.unique(r_bins):
+                bm = r_bins == b
+                bvb, bve = r_vb[bm], r_ve[bm]
+                chunks = bdict.setdefault(int(b), [])
+                # merge runs where a record starts at the previous
+                # record's end voffset (add()'s chunk coalescing)
+                new_run = np.ones(len(bvb), bool)
+                new_run[1:] = bvb[1:] != bve[:-1]
+                starts = np.flatnonzero(new_run)
+                ends_i = np.append(starts[1:], len(bvb)) - 1
+                first = 0
+                if chunks and chunks[-1][1] == bvb[0]:
+                    chunks[-1] = (chunks[-1][0], int(bve[ends_i[0]]))
+                    first = 1
+                for s, e in zip(starts[first:], ends_i[first:]):
+                    chunks.append((int(bvb[s]), int(bve[e])))
+            # linear index: the FIRST record (in call order) touching a
+            # 16kb window sets its voffset — records span multiple
+            # windows, so gather every (window, record-order) pair and
+            # keep the earliest per window
+            lin = self.linear[rid]
+            w0 = r_begs >> 14
+            w1 = r_e1 >> 14
+            span = w1 - w0
+            ws_l, vv_l, oi_l = [], [], []
+            for extra in range(int(span.max()) + 1 if len(span) else 0):
+                sel = span >= extra
+                ws_l.append((w0[sel] + extra).astype(np.int64))
+                vv_l.append(r_vb[sel])
+                oi_l.append(np.flatnonzero(sel))
+            if ws_l:
+                W = np.concatenate(ws_l)
+                V = np.concatenate(vv_l)
+                O = np.concatenate(oi_l)
+                ordw = np.lexsort((O, W))
+                W, V = W[ordw], V[ordw]
+                firstw = np.ones(len(W), bool)
+                firstw[1:] = W[1:] != W[:-1]
+                for w, v in zip(W[firstw].tolist(), V[firstw].tolist()):
+                    lin.setdefault(int(w), int(v))
+            m_ = self.meta[rid]
+            lo, hi = int(r_vb.min()), int(r_ve.max())
+            m_[0] = lo if m_[0] is None else min(m_[0], lo)
+            m_[1] = hi if m_[1] is None else max(m_[1], hi)
+            m_[2] += int(m.sum())
+
     def tobytes(self) -> bytes:
         out = bytearray(b"BAI\1")
         out += struct.pack("<i", self.n_ref)

@@ -257,10 +257,12 @@ def _native_pass2(buf, parsed, rid, pair_id, header: SamHeader,
                     base_coff=c_off)
                 voffs = vmap.voffsets(base +
                                       np.asarray(rec_off, np.int64))
-                for i in range(len(erid)):
-                    bai.add(int(erid[i]), int(epos[i]),
-                            int(epos[i]) + int(erlen[i]),
-                            int(voffs[i]), int(voffs[i + 1]))
+                if len(erid):
+                    erid = np.asarray(erid, np.int64)
+                    epos = np.asarray(epos, np.int64)
+                    erlen = np.asarray(erlen, np.int64)
+                    bai.add_batch(erid, epos, epos + erlen,
+                                  voffs[:-1], voffs[1:])
             fo.write(comp)
             u_off += len(payload)
             c_off += len(comp)

@@ -292,3 +292,26 @@ def test_bai_metadata_pseudobin(tmp_path):
     assert found is not None and len(found) == 2
     assert found[1][0] == 2          # n_mapped
     assert found[1][1] == 0          # n_unmapped
+
+
+def test_bai_add_batch_matches_scalar(rng):
+    """BaiBuilder.add_batch == per-record add() byte-for-byte."""
+    from fgdp_tpu.io.bam import BaiBuilder
+
+    n = 3000
+    rids = rng.integers(-1, 3, n).astype(np.int64)
+    begs = np.sort(rng.integers(0, 1 << 22, n)).astype(np.int64)
+    lens_ = rng.integers(50, 50_000, n)
+    ends = begs + lens_
+    voffs = np.sort(rng.integers(0, 1 << 40, n + 1).astype(np.uint64))
+    a = BaiBuilder(3)
+    b = BaiBuilder(3)
+    # coordinate order per rid (the callers' contract): sort by (rid, beg)
+    order = np.lexsort((begs, rids))
+    rids, begs, ends = rids[order], begs[order], ends[order]
+    vb, ve = voffs[:-1], voffs[1:]
+    for i in range(n):
+        a.add(int(rids[i]), int(begs[i]), int(ends[i]),
+              int(vb[i]), int(ve[i]))
+    b.add_batch(rids, begs, ends, vb, ve)
+    assert a.tobytes() == b.tobytes()
