@@ -411,11 +411,16 @@ def finalize_se_batch(pref, opt, shapes, names, seq_codes, quals, regs_np,
     Module-level and numpy-only so worker processes can run it
     (pipeline_stream.FinalizePool)."""
     reg_lists = _reg_lists_np(pref, opt, seq_codes, regs_np)
+    # id0 may be a scalar base (ids = id0 + row) or a per-read id array
+    # (the deferred-escalation flush finalizes reads gathered from many
+    # batches; ids feed the hash_64 tie-breaks so they must be the
+    # reads' ORIGINAL global ids for output identical to the sync path)
+    ids = id0 if np.ndim(id0) else id0 + np.arange(len(reg_lists))
     # batch the reg2aln DP (CIGAR/MD) across the whole read batch
     jobs = []
     job_of = []
     for b, rl in enumerate(reg_lists):
-        finalize.mark_primary(opt, rl, id0 + b)
+        finalize.mark_primary(opt, rl, int(ids[b]))
         codes = np.asarray(seq_codes[b], np.int64)
         for k in finalize.selected_regs(opt, rl):
             jobs.append((codes, rl[k]))
@@ -429,7 +434,7 @@ def finalize_se_batch(pref, opt, shapes, names, seq_codes, quals, regs_np,
         qual = quals[b] if quals else None
         out.extend(finalize.reg2sam(
             pref, opt, names[b], np.asarray(seq_codes[b], np.int64),
-            qual, rl, id0 + b, alns_by_k=aln_maps[b]))
+            qual, rl, int(ids[b]), alns_by_k=aln_maps[b]))
     return out
 
 

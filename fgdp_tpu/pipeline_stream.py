@@ -107,7 +107,8 @@ class LineWriter:
 from .utils.profiling import PROF
 
 
-def overlapped_regs(aligner, batch_iter, depth: int = 2):
+def overlapped_regs(aligner, batch_iter, depth: int = 2,
+                    sync_retry: bool = True):
     """Generator keeping `depth` device align dispatches in flight ahead
     of the host-side conversion — the device crunches batch i+1..i+depth
     while the host finalizes batch i (the reference's kt_pipeline stage
@@ -127,12 +128,13 @@ def overlapped_regs(aligner, batch_iter, depth: int = 2):
         if len(pending) > depth:
             nm, sq, ql, rd, i0 = pending.popleft()
             with PROF.phase("REG_SYNC"):
-                regs_np = aligner._regs_to_np(rd, sq)
+                regs_np = aligner._regs_to_np(rd, sq if sync_retry
+                                              else None)
             yield nm, sq, ql, regs_np, i0
     while pending:
         nm, sq, ql, rd, i0 = pending.popleft()
         with PROF.phase("REG_SYNC"):
-            regs_np = aligner._regs_to_np(rd, sq)
+            regs_np = aligner._regs_to_np(rd, sq if sync_retry else None)
         yield nm, sq, ql, regs_np, i0
 
 
@@ -275,6 +277,55 @@ class StreamingSortMarkdup:
             self._spill.close()
 
 
+class _DeferredEscalation:
+    """Escalated-read pool for the sort-bound stream: overflowed reads
+    are pulled out of their batch and re-run through the escalation
+    ladder in ONE widened launch per `cap` reads, instead of one
+    serialized launch per overflowing batch (at the headline workload's
+    ~0.02% overflow rate that was one extra device launch per 4096-read
+    batch on the critical path — measured 2x on e2e). Legal only when
+    the downstream re-sorts (the coordinate sort destroys read order);
+    the SAM-order `mem` path keeps the synchronous per-batch retry.
+    Original global read ids ride along so the hash_64 dedup/primary
+    tie-breaks produce records identical to the sync path's."""
+
+    def __init__(self, aligner, cap: int = 0):
+        self.aligner = aligner
+        self.cap = cap or aligner.shapes.batch_reads
+        self.rows = []          # (name, seq, qual, gid, {field: row})
+
+    def split(self, nm, sq, ql, regs_np, i0):
+        """Strip overflowed reads from the batch into the pool; returns
+        the kept (names, seqs, quals, regs_np, ids) or None."""
+        ovf = np.asarray(regs_np["overflow"])
+        if not ovf.any():
+            return nm, sq, ql, regs_np, i0 + np.arange(len(nm))
+        for b in np.flatnonzero(ovf):
+            self.rows.append((nm[b], sq[b], ql[b] if ql else None,
+                              i0 + int(b),
+                              {k: v[b] for k, v in regs_np.items()}))
+        keep = np.flatnonzero(~ovf)
+        if len(keep) == 0:
+            return None
+        return ([nm[b] for b in keep], [sq[b] for b in keep],
+                [ql[b] for b in keep] if ql else None,
+                {k: v[keep] for k, v in regs_np.items()}, i0 + keep)
+
+    def flush_one(self, count: int):
+        """Escalate + return the oldest `count` pooled reads as a
+        (names, seqs, quals, regs_np, ids) batch (device launch here)."""
+        rows, self.rows = self.rows[:count], self.rows[count:]
+        nm = [r[0] for r in rows]
+        sq = [r[1] for r in rows]
+        ql = [r[2] for r in rows]
+        if all(q is None for q in ql):
+            ql = None
+        ids = np.asarray([r[3] for r in rows])
+        regs_np = {k: np.stack([r[4][k] for r in rows])
+                   for k in rows[0][4]}
+        return nm, sq, ql, self.aligner._retry_overflow(regs_np, sq), ids
+
+
 def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
                         compress_level: int = 6, depth: int = 2,
                         progress=None, pool=None):
@@ -290,22 +341,40 @@ def stream_fastq_to_bam(aligner, batch_iter, out_bam_path, paired: bool,
     sd = StreamingSortMarkdup(list(aligner.sam_header()), out_bam_path,
                               compress_level)
     n = 0
-    if pool is None:
+    # SE only: PE pairing computes the insert-size stats per finalize
+    # cohort, so pulling pairs out of their batch would perturb pestat
+    # for the rest of the batch; PE keeps the synchronous retry
+    defer = None if paired else _DeferredEscalation(aligner)
+
+    def batches():
+        nonlocal n
         for nm, sq, ql, regs_np, i0 in overlapped_regs(
-                aligner, Prefetcher(batch_iter, depth), depth):
-            sd.feed(aligner.finalize_batch(nm, sq, ql, regs_np, i0,
-                                           paired=paired))
+                aligner, Prefetcher(batch_iter, depth), depth,
+                sync_retry=defer is None):
             n = i0 + len(nm)
+            if defer is None:
+                yield nm, sq, ql, regs_np, i0
+            else:
+                kept = defer.split(nm, sq, ql, regs_np, i0)
+                if kept is not None:
+                    yield kept
+                while len(defer.rows) >= defer.cap:
+                    yield defer.flush_one(defer.cap)
+        while defer is not None and defer.rows:
+            yield defer.flush_one(defer.cap)
+
+    if pool is None:
+        for nm, sq, ql, regs_np, ids in batches():
+            sd.feed(aligner.finalize_batch(nm, sq, ql, regs_np, ids,
+                                           paired=paired))
             if progress is not None:
                 progress(n)
     else:
         pending = collections.deque()
-        for nm, sq, ql, regs_np, i0 in overlapped_regs(
-                aligner, Prefetcher(batch_iter, depth), depth):
+        for nm, sq, ql, regs_np, ids in batches():
             with PROF.phase("POOL_SUBMIT"):
-                pending.append(pool.submit(nm, sq, ql, regs_np, i0,
+                pending.append(pool.submit(nm, sq, ql, regs_np, ids,
                                            paired))
-            n = i0 + len(nm)
             while len(pending) > depth:
                 with PROF.phase("POOL_WAIT"):
                     lines = pending.popleft().result()

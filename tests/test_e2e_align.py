@@ -164,3 +164,99 @@ def test_overflow_propagates():
     got = np.asarray(regs.overflow)
     assert bool(got[2])
     assert not bool(got[0]) and not bool(got[1]) and not bool(got[3])
+
+
+def test_deferred_escalation_bookkeeping():
+    """_DeferredEscalation.split/flush_one: overflowed rows leave the
+    batch with their original global ids and fields intact; kept rows
+    stay aligned with their names/seqs; flush chunks re-batch in FIFO
+    order (pipeline_stream.py — the sort-bound stream's batched
+    escalation; device launch stubbed out)."""
+    from fgdp_tpu.pipeline_stream import _DeferredEscalation
+
+    class StubAligner:
+        class shapes:
+            batch_reads = 4
+
+        def _retry_overflow(self, regs_np, seqs):
+            regs_np = dict(regs_np)
+            regs_np["overflow"] = np.zeros(len(seqs), bool)
+            return regs_np
+
+    d = _DeferredEscalation(StubAligner())
+    B, E = 6, 2
+    ovf = np.array([False, True, False, True, True, False])
+    regs = {"overflow": ovf,
+            "score": np.arange(B * E).reshape(B, E),
+            "frac_rep": np.linspace(0, 1, B, dtype=np.float32)}
+    nm = [f"r{i}" for i in range(B)]
+    sq = [np.full(5, i) for i in range(B)]
+    kept = d.split(nm, sq, None, regs, 100)
+    knm, ksq, kql, kregs, kids = kept
+    assert knm == ["r0", "r2", "r5"]
+    assert list(kids) == [100, 102, 105]
+    assert kregs["score"].tolist() == [[0, 1], [4, 5], [10, 11]]
+    assert len(d.rows) == 3 and [r[3] for r in d.rows] == [101, 103, 104]
+
+    # second batch, all overflowed -> split returns None
+    regs2 = {"overflow": np.ones(2, bool),
+             "score": np.array([[90, 91], [92, 93]]),
+             "frac_rep": np.zeros(2, np.float32)}
+    assert d.split(["x0", "x1"], [np.zeros(5)] * 2, None, regs2, 200) \
+        is None
+    assert [r[3] for r in d.rows] == [101, 103, 104, 200, 201]
+
+    fnm, fsq, fql, fregs, fids = d.flush_one(4)
+    assert fnm == ["r1", "r3", "r4", "x0"]
+    assert list(fids) == [101, 103, 104, 200]
+    assert fregs["score"][0].tolist() == [2, 3]
+    assert not fregs["overflow"].any()         # stub cleared the flags
+    assert [r[3] for r in d.rows] == [201]
+
+
+@pytest.mark.slow
+def test_deferred_escalation_matches_sync(tmp_path):
+    """stream_fastq_to_bam (SE) pools escalated reads and re-runs them
+    in batched flush launches; the resulting BAM must be byte-identical
+    to the synchronous-retry path (stream_mem SAM -> sort_markdup):
+    deferred reads keep their original ids through the hash_64
+    tie-breaks and the coordinate sort destroys stream order anyway."""
+    from fgdp_tpu.cli import _read_batches
+    from fgdp_tpu.pipeline_stream import stream_fastq_to_bam, stream_mem
+    from fgdp_tpu.sortdup import driver as sddriver
+
+    rng = np.random.default_rng(11)
+    unit = rng.integers(0, 4, 160).astype(np.uint8)
+    ref = np.concatenate([np.tile(unit, 12),
+                          rng.integers(0, 4, 2000).astype(np.uint8)])
+    pref = PackedReference.from_contigs(["cR"], [ref.astype(np.uint8)])
+    L, B = 80, 16
+    # transfer_regs=1 forces transfer overflow on the repeat-unit reads
+    # (many alignment regions); uniques sail through untouched
+    shapes = BatchShapes(read_len=L, batch_reads=B, max_smems=96,
+                         max_seeds=128, max_chains=16, max_regs=16,
+                         max_ext_ref=304, transfer_regs=1)
+    aligner = Aligner.build(pref, shapes=shapes)
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(3 * B):
+            if i % 3 == 0:
+                p = int(rng.integers(0, 11 * len(unit)))
+            else:
+                p = int(rng.integers(12 * len(unit), len(ref) - L))
+            f.write(f"@q{i}\n{dna.decode(ref[p:p + L])}\n+\n{'I' * L}\n")
+
+    lines = []
+    stream_mem(aligner, _read_batches([str(fq)], B), lines.append,
+               paired=False)
+    esc_sync = getattr(aligner, "esc_reads", 0)
+    assert esc_sync > 0, "fixture must actually overflow"
+    bam_a = tmp_path / "a.bam"
+    sddriver.sort_markdup(list(aligner.sam_header()) + lines, bam_a)
+
+    bam_b = tmp_path / "b.bam"
+    n, (nrec, _) = stream_fastq_to_bam(
+        aligner, _read_batches([str(fq)], B), str(bam_b), paired=False)
+    assert n == 3 * B and nrec == len(lines)
+    assert getattr(aligner, "esc_reads", 0) > esc_sync  # deferred ran
+    assert bam_b.read_bytes() == bam_a.read_bytes()
