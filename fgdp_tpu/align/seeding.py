@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AlignConfig
+from ..ops import fm as fmops
 from ..ops import smem as smemops
 from ..ops import smem_sweep as sweepops
 from ..ops.fm import DeviceFMIndex
@@ -123,7 +124,27 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     k2_overflow = (ends > NK) & (ends > starts)
 
-    if use_sweep:
+    if lcp_tree is not None:
+        # LCP-engine K2 (the fmi_shrink analogue, ops/smem_k2lcp.py):
+        # the job's interval at q[x..n] comes from an ISA jump + tree
+        # ascent instead of a forward re-search, and the backward pass
+        # is the K1 single-pass walk with the s >= min_intv threshold —
+        # one lane per job, replacing the NK*bwd_mult backward pool
+        # that dominated K2 device time in round 4
+        from ..ops import smem_k2lcp
+        job_k = seeds.k.reshape(-1)[qidx]
+        job_m = seeds.m.reshape(-1)[qidx]
+        pos_occ = jnp.where(
+            job_k < -1, -job_k - 2,
+            fmops.sa_lookup(dfm, jnp.maximum(job_k, 0)))
+        job_pos = pos_occ + (job_x - job_m)
+        job_d0 = seeds.n.reshape(-1)[qidx] - job_x + 1
+        seeds = smem_k2lcp.k2_reseed_lcp(
+            dfm, lcp_tree, lcp_isa, codes, lens, k_read, job_x, job_mi,
+            job_pos, job_d0, k_on, opt.min_seed_len, B, s_k1,
+            into=seeds, sj_cap=16 * k2s, ascent_cap=64 * k2s,
+            max_rounds=48 * k2s)
+    elif use_sweep:
         # walk=False: K2 min_intv = occ + 1 >= 2, the s==1 walk branch
         # cannot trigger
         # bwd_mult 16: the shared backward-lane pool was the dominant

@@ -81,7 +81,7 @@ def main():
 
     def seed_only(c):
         sd = seeds_of(c)
-        return sd.count.sum() + sd.m.sum() + sd.k.sum()
+        return sd.count.sum() + sd.m.sum() + sd.n.sum()
 
     import dataclasses as _dc
     opt_nok3 = _dc.replace(opt, max_mem_intv=0)
@@ -120,10 +120,16 @@ def main():
         return regs.score.sum() + regs.valid.sum()
 
     n_iter = 6
-    for name, f in (("k1_only", k1_only), ("seed_no_k3", seed_no_k3),
-                    ("seed_only", seed_only),
-                    ("to_chain", to_chain), ("to_extend", to_extend),
-                    ("full", full)):
+    stages = (("k1_only", k1_only), ("seed_no_k3", seed_no_k3),
+              ("seed_only", seed_only),
+              ("to_chain", to_chain), ("to_extend", to_extend),
+              ("full", full))
+    # PROF_STAGE=name runs one stage per process (several jitted
+    # device_align prefixes in one process exhaust relay HBM)
+    only = os.environ.get("PROF_STAGE")
+    if only:
+        stages = [st for st in stages if st[0] == only]
+    for name, f in stages:
         jf = jax.jit(f)
         t0 = time.perf_counter()
         _ = np.asarray(jf(mk()))
