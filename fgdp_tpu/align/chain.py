@@ -31,7 +31,7 @@ from ..ops import fm as fmops
 from ..ops.fm import DeviceFMIndex
 from ..ops.smem import SeedBatch
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1  # python int: literal, not a shared captured Array
 
 
 class ChainBatch(NamedTuple):
@@ -178,7 +178,12 @@ def chain_seeds(dfm: DeviceFMIndex, dref: DeviceReference, smems: SeedBatch,
 
     if use_pallas is None:
         try:
-            use_pallas = jax.default_backend() == "tpu"
+            # see ops/sw.py sw_extend_auto: default_device contexts
+            # (CPU-routed escalation under the axon relay) override the
+            # process backend
+            d = jax.config.jax_default_device
+            plat = d.platform if d is not None else jax.default_backend()
+            use_pallas = plat == "tpu"
         except Exception:  # noqa: BLE001
             use_pallas = False
     if use_pallas:

@@ -24,7 +24,7 @@ from ..ops import sw as swops
 from ..ops.smem_sweep import pack_reads, read_window
 from .chain import ChainBatch
 
-NEG1 = jnp.int32(-1)
+NEG1 = -1  # python int: traced as a literal, not a shared captured Array (see BASELINE.md "device-program isolation")
 
 
 class AlnRegBatch(NamedTuple):

@@ -29,7 +29,7 @@ from ..ops import smem_sweep as sweepops
 from ..ops.fm import DeviceFMIndex
 from ..ops.smem import SeedBatch
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1  # python int: literal, not a shared captured Array
 
 
 def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
@@ -124,13 +124,16 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     k2_overflow = (ends > NK) & (ends > starts)
 
-    if lcp_tree is not None:
+    import os
+    if lcp_tree is not None and os.environ.get("FGDP_K2_SWEEP") != "1":
         # LCP-engine K2 (the fmi_shrink analogue, ops/smem_k2lcp.py):
         # the job's interval at q[x..n] comes from an ISA jump + tree
         # ascent instead of a forward re-search, and the backward pass
         # is the K1 single-pass walk with the s >= min_intv threshold —
         # one lane per job, replacing the NK*bwd_mult backward pool
-        # that dominated K2 device time in round 4
+        # that dominated K2 device time in round 4. FGDP_K2_SWEEP=1
+        # falls back to the sweep machines (operational escape hatch;
+        # both paths are parity-tested, tests/test_smem_k2lcp.py).
         from ..ops import smem_k2lcp
         job_k = seeds.k.reshape(-1)[qidx]
         job_m = seeds.m.reshape(-1)[qidx]
@@ -140,8 +143,8 @@ def collect_seeds(dfm: DeviceFMIndex, dref, codes, lens, active,
         job_pos = pos_occ + (job_x - job_m)
         job_d0 = seeds.n.reshape(-1)[qidx] - job_x + 1
         seeds = smem_k2lcp.k2_reseed_lcp(
-            dfm, lcp_tree, lcp_isa, codes, lens, k_read, job_x, job_mi,
-            job_pos, job_d0, k_on, opt.min_seed_len, B, s_k1,
+            dfm, lcp_tree, lcp_isa, codes, lens, k_read, job_x,
+            job_mi, job_pos, job_d0, k_on, opt.min_seed_len, B, s_k1,
             into=seeds, sj_cap=16 * k2s, ascent_cap=64 * k2s,
             max_rounds=48 * k2s)
     elif use_sweep:

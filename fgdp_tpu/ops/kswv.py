@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import AlignConfig
 
-NEG = jnp.int32(-(1 << 30))
+NEG = -(1 << 30)  # python int: literal, not a shared captured Array
 
 
 @functools.partial(jax.jit, static_argnames=("a", "b", "o_del", "e_del",

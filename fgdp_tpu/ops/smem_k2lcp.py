@@ -53,7 +53,7 @@ MODE_EXT = 0
 MODE_SHR = 1
 MODE_DEAD = 2
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1  # python int: literal, not a shared captured Array
 
 
 def _lane_append(seeds: LaneSeeds, mask, m, n, k, s):
@@ -119,8 +119,8 @@ def k2_reseed_lcp(fm: fmops.DeviceFMIndex, tree, isa, codes, lens,
 
     # ---- 1+2. ISA jump + ascent to the interval of q[x..n] ----
     row = jnp.take(isa, jnp.clip(job_pos, 0, N - 1), mode="clip")
-    lo, hi, dpt, asc_ovf = _ascend(tree, N, row, k_on, job_d0, job_mi,
-                                   ascent_cap)
+    lo, hi, dpt, asc_ovf = _ascend(tree, N, row, k_on, job_d0,
+                                   job_mi, ascent_cap)
 
     # ---- 3. forward extension past the parent SMEM's right end ----
     # Only lanes whose q[x..n] interval meets min_intv can grow right of

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.int32(-(1 << 30))
+NEG_INF = -(1 << 30)  # python int: literal, not a shared captured Array
 
 
 class SWParams(NamedTuple):
@@ -52,7 +52,13 @@ def sw_extend_auto(query, qlen, target, tlen, h0, w, mat, p: SWParams,
     """sw_extend via the Pallas kernel on accelerators (bit-identical;
     ~4x at extension shapes), the jnp row-loop on CPU."""
     try:
-        on_tpu = jax.default_backend() not in ("cpu",)
+        # honor jax.default_device(cpu) contexts: the escalation ladder
+        # routes to the in-process CPU backend under the axon relay
+        # (pipeline.Aligner._esc_ctx) while the process default stays
+        # the accelerator
+        d = jax.config.jax_default_device
+        plat = d.platform if d is not None else jax.default_backend()
+        on_tpu = plat not in ("cpu",)
     except Exception:  # noqa: BLE001
         on_tpu = False
     if on_tpu:

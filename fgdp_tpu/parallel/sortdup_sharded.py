@@ -36,7 +36,7 @@ from ..sortdup import engine
 
 _LO_BITS = engine._LO_BITS
 _LO_MASK = engine._LO_MASK
-_BIG = jnp.int32(2**31 - 1)
+_BIG = 2**31 - 1  # python int: literal, not a shared captured Array
 
 
 def make_splitters(total_hi: int, total_lo: int, n_shards: int):

@@ -27,8 +27,18 @@ from .ops.fm import DeviceFMIndex
 
 def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                  active, opt: AlignConfig, shapes: BatchShapes,
-                 lcp_tree=None, lcp_isa=None):
-    """codes int32[B, L] -> AlnRegBatch (jit-able)."""
+                 lcp_tree=None, lcp_isa=None, salt=None):
+    """codes int32[B, L] -> AlnRegBatch (jit-able).
+
+    `salt`: optional int32 array whose SHAPE perturbs the compiled
+    program (its runtime value is all-zeros and only feeds a
+    never-true overflow term). The axon relay loses track of loaded
+    executables when several coexist in one process (re-execution
+    then fails with INVALID_ARGUMENT "TPU backend error" — empirically
+    pairs whose 64-bit launch keys agree mod 8 conflict, see
+    BASELINE.md "relay executable-eviction bug"); bumping the salt
+    length re-jits to a fresh fingerprint, which re-registers the
+    program. Aligner drives this via _relaunch_salt."""
     seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
                           max_seeds=shapes.max_smems, prev_cap=20,
                           scale=shapes.seed_scale,
@@ -54,7 +64,13 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
                                    t_max=shapes.max_ext_ref,
                                    jobs_per_read=shapes.ext_jobs_per_read
                                    or 6 * shapes.seed_scale)
-    return compact_regs(regs, shapes.transfer_regs)
+    regs = compact_regs(regs, shapes.transfer_regs)
+    if salt is not None:
+        # never true at runtime (salt is zeros); keeps the salt arg
+        # live so its shape reaches the executable fingerprint
+        regs = regs._replace(
+            overflow=regs.overflow | (jnp.sum(salt) < jnp.int32(0)))
+    return regs
 
 
 # reg fields that fit comfortably in int16 (offsets/scores bounded by
@@ -134,7 +150,21 @@ class Aligner:
         self._fn = jax.jit(functools.partial(
             device_align, opt=self._dev_opt, shapes=self.shapes))
         self._esc_fns = {}        # escalation level -> jitted program
+        self._salts = {}          # program key -> relay-loss salt level
         self._warm = False
+        # escalation-ladder placement: "same" = in-process on the
+        # primary's device (default); "worker" = clean-env CPU
+        # subprocess per rung (EscalationPool), the hard-isolation
+        # fallback for jax dispatch bugs of the round-5 class (shared
+        # captured-constant conflation between same-source jit
+        # variants, see BASELINE.md "device-program isolation");
+        # "cpu" = in-process CPU backend.
+        import os as _os
+        self._esc_mode = _os.environ.get("FGDP_ESC_MODE", "same")
+        self._fm_host = fm
+        self._lcp_host = lcp if lcp else None
+        self._cpu = None          # lazy CPU-backend index context
+        self._esc_pool = None     # lazy clean-env CPU worker process
 
     @classmethod
     def build(cls, pref: PackedReference, **kw) -> "Aligner":
@@ -198,10 +228,25 @@ class Aligner:
         # one device program here)
         phase = "MEM_DEVICE" if self._warm else "JIT_COMPILE"
         with PROF.phase(phase):
-            regs = self._fn(self.dfm, self.dref, jnp.asarray(codes),
-                            jnp.asarray(lens), jnp.ones(B, bool),
-                            lcp_tree=self.lcp_tree,
-                            lcp_isa=self.lcp_isa)
+            for attempt in (0, 1):
+                try:
+                    regs = self._fn(self.dfm, self.dref,
+                                    jnp.asarray(codes),
+                                    jnp.asarray(lens), jnp.ones(B, bool),
+                                    lcp_tree=self.lcp_tree,
+                                    lcp_isa=self.lcp_isa,
+                                    salt=self._salt_arr("primary"))
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if attempt or not self._is_relay_loss(e):
+                        raise
+                    import sys
+                    self._salts["primary"] = \
+                        self._salts.get("primary", 0) + 1
+                    print(f"[fgdp] align executable lost (relay "
+                          f"eviction / jit-variant conflation); "
+                          f"re-jitting with salt "
+                          f"{self._salts['primary']}", file=sys.stderr)
         self._warm = True
         # start the device->host copies now: they complete behind the
         # next batches' compute, so _regs_to_np's np.asarray is a wait,
@@ -215,12 +260,109 @@ class Aligner:
 
     ESCALATE_LEVELS = 2
 
-    def _regs_to_np(self, regs, seq_codes=None):
+    # ---- relay executable-loss recovery --------------------------------
+    # The axon relay can lose a loaded executable once several large
+    # programs coexist in one process: its next execution fails with
+    # INVALID_ARGUMENT "TPU backend error" (empirically, executable
+    # pairs whose 64-bit launch keys agree mod 8 conflict — reproduced
+    # and bisected in round 5; the r4->r5 program set re-rolled the
+    # fingerprints into a conflicting pair, which is also the mechanism
+    # behind bench crashes after warming the escalation ladder).
+    # Recovery: bump a per-program SALT whose array shape feeds the
+    # fingerprint (device_align `salt` arg) and re-jit — a fresh
+    # fingerprint re-registers the program. One compile per collision.
+
+    def _salt_arr(self, key):
+        return jnp.zeros(1 + self._salts.get(key, 0), jnp.int32)
+
+    def _esc_ctx(self):
+        """(dfm, dref, lcp_tree, lcp_isa, device) for escalated re-runs:
+        the primary's own context ("same"/"tpu" modes), or a
+        lazily-built CPU-backend copy of the index ("cpu" mode)."""
+        if self._esc_mode != "cpu":
+            return (self.dfm, self.dref, self.lcp_tree, self.lcp_isa,
+                    None)
+        if self._cpu is None:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                dfm = DeviceFMIndex.from_host(self._fm_host)
+                dref = DeviceReference(self.pref)
+                if self._lcp_host is not None:
+                    tree = jnp.asarray(self._lcp_host.tree)
+                    isa_ = jnp.asarray(self._lcp_host.isa)
+                else:
+                    tree = isa_ = None
+            self._cpu = (dfm, dref, tree, isa_, cpu)
+        return self._cpu
+
+    def _esc_exec(self, flavor, level, B_esc, codes, lens, active):
+        """Run one escalated chunk; returns {field: np.ndarray}.
+
+        Under the axon relay ("worker" mode, the default there) the
+        chunk runs in a CLEAN-ENV CPU subprocess: the relay loses track
+        of loaded executables when several large programs coexist in
+        one process — for on-relay programs AND for remote-compiled
+        CPU programs of the same process — so the only robust placement
+        for the ladder's extra executables is a process that never
+        touches the relay (same isolation as FinalizePool workers).
+        On real PJRT TPU runtimes ("same") the ladder stays on-device."""
+        if self._esc_mode == "worker":
+            if self._esc_pool is None:
+                self._esc_pool = EscalationPool(self)
+            return self._esc_pool.run(flavor, level, B_esc, codes, lens,
+                                      active)
+        return self._run_esc_chunk(flavor, level, B_esc, codes, lens,
+                                   active)
+
+    def _run_esc_chunk(self, flavor, level, B_esc, codes, lens, active):
+        """In-process escalated execution with relay-loss salt retry."""
+        import contextlib
+
+        fn = self._esc_fn(flavor, level, B_esc)
+        esc_key = (flavor, level, B_esc)
+        e_dfm, e_dref, e_tree, e_isa, e_dev = self._esc_ctx()
+        cm = jax.default_device(e_dev) if e_dev is not None \
+            else contextlib.nullcontext()
+        for attempt in (0, 1):
+            try:
+                with cm:
+                    sub = fn(e_dfm, e_dref, jnp.asarray(codes),
+                             jnp.asarray(lens), jnp.asarray(active),
+                             lcp_tree=e_tree, lcp_isa=e_isa,
+                             salt=self._salt_arr(esc_key))
+                return {k: np.asarray(v)
+                        for k, v in sub._asdict().items()}
+            except Exception as e:  # noqa: BLE001
+                if attempt or not self._is_relay_loss(e):
+                    raise
+                import sys
+                self._salts[esc_key] = self._salts.get(esc_key, 0) + 1
+                print(f"[fgdp] relay lost escalated executable "
+                      f"{esc_key}; re-jitting with salt "
+                      f"{self._salts[esc_key]}", file=sys.stderr)
+
+    @staticmethod
+    def _is_relay_loss(e) -> bool:
+        return "INVALID_ARGUMENT" in str(e)
+
+    def _regs_to_np(self, regs, seq_codes=None, raw_codes=None):
         # int16 fields ride the wire narrow (compact_regs); the host
         # finalize code computes in plain int — upcast on arrival
-        out = {k: (a := np.asarray(v),
-                   a.astype(np.int32) if a.dtype == np.int16 else a)[1]
-               for k, v in regs._asdict().items()}
+        def conv(r):
+            return {k: (a := np.asarray(v),
+                        a.astype(np.int32) if a.dtype == np.int16
+                        else a)[1]
+                    for k, v in r._asdict().items()}
+        try:
+            out = conv(regs)
+        except Exception as e:  # noqa: BLE001 — relay loss recovery
+            if raw_codes is None or not self._is_relay_loss(e):
+                raise
+            import sys
+            self._salts["primary"] = self._salts.get("primary", 0) + 1
+            print(f"[fgdp] relay lost the align executable; re-jitting "
+                  f"with salt {self._salts['primary']}", file=sys.stderr)
+            out = conv(self._device_regs_async(raw_codes))
         if seq_codes is not None:
             out = self._retry_overflow(out, seq_codes)
         return out
@@ -275,6 +417,47 @@ class Aligner:
                            jobs_pool_per_read=s.max_seeds * 2 * f,
                            ext_jobs_per_read=6 * f)
 
+    def _esc_fn(self, flavor, level, B_esc):
+        """Jitted escalated device program for one ladder rung."""
+        fn = self._esc_fns.get((flavor, level, B_esc))
+        if fn is None:
+            import dataclasses as _dc
+            mk = {"full": self._escalated_shapes,
+                  "k2w": self._k2_wide_shapes,
+                  "cw": self._chain_wide_shapes}[flavor]
+            esh = _dc.replace(mk(level), batch_reads=B_esc)
+            fn = jax.jit(functools.partial(
+                device_align, opt=self._dev_opt, shapes=esh))
+            self._esc_fns[(flavor, level, B_esc)] = fn
+        return fn
+
+    def warm_escalation(self, B_esc: int = 128, levels=None):
+        """Compile + run every escalation-ladder rung reachable from the
+        primary program at the B_esc bucket.
+
+        The ladder compiles lazily, so the FIRST overflowing batch of a
+        run pays a full device-program compile (tens of seconds) for
+        each (flavor, level) it reaches — round 4's e2e 'regression'
+        (19.7k -> 12.4k reads/s, BENCH_r04) was exactly such compiles
+        landing inside the bench's timed pass once the cause-routed
+        flavors tripled the program space and honest overflow flags
+        made them reachable. Steady-state measurement (and any
+        latency-sensitive serving deployment) warms the rungs up front;
+        the reference has no analogue because its per-read allocation
+        never re-runs anything (bwamem.cpp:879-1128)."""
+        rungs = []
+        for level in range(1, self.ESCALATE_LEVELS + 1):
+            seed_fl = "k2w" if level == 1 else "full"
+            rungs += [(seed_fl, level), ("cw", level)]
+        if levels is not None:
+            rungs = [r for r in rungs if r[1] in levels]
+        L = self.shapes.read_len
+        codes = np.zeros((B_esc, L), np.int32)
+        lens = np.full(B_esc, L, np.int32)
+        active = np.zeros(B_esc, bool)       # compile + execute, no work
+        for flavor, level in rungs:
+            self._esc_exec(flavor, level, B_esc, codes, lens, active)
+
     def _retry_overflow(self, regs_np, seq_codes):
         """Re-run overflowed reads through progressively wider device
         buckets (the host-driver fallback promised by BatchShapes: the
@@ -307,19 +490,6 @@ class Aligner:
         B = len(ovf)
         L = self.shapes.read_len
 
-        def get_fn(flavor, level, B_esc):
-            fn = self._esc_fns.get((flavor, level, B_esc))
-            if fn is None:
-                import dataclasses as _dc
-                mk = {"full": self._escalated_shapes,
-                      "k2w": self._k2_wide_shapes,
-                      "cw": self._chain_wide_shapes}[flavor]
-                esh = _dc.replace(mk(level), batch_reads=B_esc)
-                fn = jax.jit(functools.partial(
-                    device_align, opt=self._dev_opt, shapes=esh))
-                self._esc_fns[(flavor, level, B_esc)] = fn
-            return fn
-
         for level in range(1, self.ESCALATE_LEVELS + 1):
             still = []
             # seed-stage overflow goes through the K1-cheap k2-wide
@@ -332,11 +502,14 @@ class Aligner:
                 sub_idx = idx[want]
                 if len(sub_idx) == 0:
                     continue
-                B_esc = 128
+                # worker-mode rungs run on host cores: smaller buckets
+                # cut the per-flush CPU work ~4x at headline overflow
+                # counts (a handful of reads per 64k)
+                B_floor = 32 if self._esc_mode == "worker" else 128
+                B_esc = B_floor
                 while B_esc < min(len(sub_idx), 512):
                     B_esc *= 2
-                B_esc = min(B_esc, max(B, 128))
-                fn = get_fn(flavor, level, B_esc)
+                B_esc = min(B_esc, max(B, B_floor))
                 for c0 in range(0, len(sub_idx), B_esc):
                     self.esc_calls += 1
                     chunk = sub_idx[c0:c0 + B_esc]
@@ -349,12 +522,8 @@ class Aligner:
                         codes[j, :n] = np.asarray(s[:n], np.int32)
                         lens[j] = n
                         active[j] = True
-                    sub = fn(self.dfm, self.dref, jnp.asarray(codes),
-                             jnp.asarray(lens), jnp.asarray(active),
-                             lcp_tree=self.lcp_tree,
-                             lcp_isa=self.lcp_isa)
-                    sub_np = {k: np.asarray(v)
-                              for k, v in sub._asdict().items()}
+                    sub_np = self._esc_exec(flavor, level, B_esc,
+                                            codes, lens, active)
                     E_new = sub_np["valid"].shape[1]
                     E_cur = regs_np["valid"].shape[1]
                     if E_new > E_cur:
@@ -386,7 +555,8 @@ class Aligner:
 
         regs = self._device_regs_async(seq_codes)
         with PROF.phase("MEM_DEVICE"):
-            return self._regs_to_np(regs, seq_codes)
+            return self._regs_to_np(regs, seq_codes,
+                                    raw_codes=seq_codes)
 
     def finalize_batch(self, names, seq_codes, quals, regs_np, id0,
                        paired=False):
@@ -403,6 +573,120 @@ class Aligner:
 
     def _reg_lists(self, seq_codes, regs):
         return _reg_lists_np(self.pref, self.opt, seq_codes, regs)
+
+
+_ESC_AL = None
+
+
+def _esc_worker_init(pref_path, fm_path, lcp_path, opt, shapes):
+    global _ESC_AL
+    from .index.fmindex import FMIndex
+    from .index.lcptree import LcpTree
+    from .index.reference import PackedReference
+
+    pref = PackedReference.load(pref_path)
+    fm = FMIndex.load(fm_path)
+    lcp = LcpTree.load(lcp_path) if lcp_path else False
+    _ESC_AL = Aligner(pref, fm, opt=opt, shapes=shapes, lcp=lcp)
+
+
+def _esc_worker_run(args):
+    flavor, level, B_esc, codes, lens, active = args
+    return _ESC_AL._run_esc_chunk(flavor, level, B_esc, codes, lens,
+                                  active)
+
+
+class EscalationPool:
+    """Clean-environment CPU worker processes for the escalation ladder
+    — ONE process per (flavor, level, B_esc) rung.
+
+    Two bugs force this isolation (both reproduced + bisected in
+    round 5, see BASELINE.md "device-program isolation"):
+      * the axon relay loses track of loaded executables once several
+        large programs coexist in one process (re-executions fail with
+        INVALID_ARGUMENT), and
+      * jax 0.9.0's dispatch conflates same-source jit variants
+        (different shapes of the same function): re-executing one after
+        running another fails with "Execution supplied N buffers but
+        compiled program expected M" — on plain CPU, no relay involved.
+    A process that only ever runs ONE device_align variant can hit
+    neither. Workers strip the axon plugin from PYTHONPATH and pin
+    JAX_PLATFORMS=cpu, so the main process keeps exactly one large
+    resident TPU executable (the primary align program). Worker
+    compiles land in their own persistent cache (jaxcache_escworker)
+    and amortize across runs."""
+
+    def __init__(self, aligner: "Aligner"):
+        import os
+        import tempfile
+
+        self._tmpd = tempfile.mkdtemp(prefix="fgdp_escw_")
+        self._pref_path = os.path.join(self._tmpd, "p.ref")
+        self._fm_path = os.path.join(self._tmpd, "fm.npz")
+        aligner.pref.save(self._pref_path)
+        aligner._fm_host.save(self._fm_path)
+        self._lcp_path = ""
+        if aligner._lcp_host is not None:
+            self._lcp_path = os.path.join(self._tmpd, "lcp.npz")
+            aligner._lcp_host.save(self._lcp_path)
+        self._opt = aligner.opt
+        self._shapes = aligner.shapes
+        self._ex = {}             # (flavor, level, B_esc) -> executor
+
+    def _executor(self, key):
+        ex = self._ex.get(key)
+        if ex is not None:
+            return ex
+        import concurrent.futures
+        import multiprocessing
+        import os
+
+        saved = {k: os.environ.get(k)
+                 for k in ("PYTHONPATH", "JAX_PLATFORMS",
+                           "JAX_COMPILATION_CACHE_DIR",
+                           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")}
+        pp = [p for p in os.environ.get("PYTHONPATH", "").split(":")
+              if p and "axon" not in p]
+        os.environ["PYTHONPATH"] = ":".join(pp)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        # own cache dir: the shared one holds REMOTE-compiled CPU
+        # artifacts whose target-machine features mismatch this host
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = \
+            "/tmp/jaxcache_escworker"
+        os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        try:
+            ctx = multiprocessing.get_context("spawn")
+            ex = concurrent.futures.ProcessPoolExecutor(
+                max_workers=1, mp_context=ctx,
+                initializer=_esc_worker_init,
+                initargs=(self._pref_path, self._fm_path, self._lcp_path,
+                          self._opt, self._shapes))
+            list(ex.map(_worker_noop, [0]))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        self._ex[key] = ex
+        return ex
+
+    def run(self, flavor, level, B_esc, codes, lens, active):
+        key = (flavor, level, int(B_esc))
+        return self._executor(key).submit(
+            _esc_worker_run,
+            (flavor, level, int(B_esc), np.asarray(codes),
+             np.asarray(lens), np.asarray(active))).result()
+
+    def shutdown(self):
+        import shutil
+        for ex in self._ex.values():
+            ex.shutdown()
+        shutil.rmtree(self._tmpd, ignore_errors=True)
+
+
+def _worker_noop(_):
+    return 0
 
 
 def finalize_se_batch(pref, opt, shapes, names, seq_codes, quals, regs_np,

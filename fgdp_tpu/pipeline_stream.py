@@ -129,12 +129,13 @@ def overlapped_regs(aligner, batch_iter, depth: int = 2,
             nm, sq, ql, rd, i0 = pending.popleft()
             with PROF.phase("REG_SYNC"):
                 regs_np = aligner._regs_to_np(rd, sq if sync_retry
-                                              else None)
+                                              else None, raw_codes=sq)
             yield nm, sq, ql, regs_np, i0
     while pending:
         nm, sq, ql, rd, i0 = pending.popleft()
         with PROF.phase("REG_SYNC"):
-            regs_np = aligner._regs_to_np(rd, sq if sync_retry else None)
+            regs_np = aligner._regs_to_np(rd, sq if sync_retry else None,
+                                          raw_codes=sq)
         yield nm, sq, ql, regs_np, i0
 
 
@@ -287,7 +288,11 @@ class _DeferredEscalation:
     the downstream re-sorts (the coordinate sort destroys read order);
     the SAM-order `mem` path keeps the synchronous per-batch retry.
     Original global read ids ride along so the hash_64 dedup/primary
-    tie-breaks produce records identical to the sync path's."""
+    tie-breaks produce the same records and dup flags as the sync path;
+    record ORDER within a tied unified coordinate may differ (the
+    coordinate sort breaks ties by stream-arrival index, and deferred
+    reads arrive at the stream tail — sortdup/engine.py
+    coordinate_sort_order)."""
 
     def __init__(self, aligner, cap: int = 0):
         self.aligner = aligner
