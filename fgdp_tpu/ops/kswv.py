@@ -100,12 +100,17 @@ def ksw_align_local_batch(jobs, opt: AlignConfig):
         return []
     min_sc = opt.min_seed_len * opt.a
     J = len(jobs)
+    # bucket the JOB dimension too: J varies per batch, and an
+    # unbucketed leading dim means one fresh jit compile per distinct
+    # rescue-job count (measured as the dominant PE finalize cost in
+    # the CPU workers); padded lanes have qlen=tlen=0 and die in row 0
+    JP = _bucket(J, 64)
     QP = _bucket(max(len(q) for q, _ in jobs), 32)
     TP = _bucket(max(len(t) for _, t in jobs), 128)
-    q = np.full((J, QP), 4, np.int32)
-    t = np.full((J, TP), 4, np.int32)
-    qlen = np.zeros(J, np.int32)
-    tlen = np.zeros(J, np.int32)
+    q = np.full((JP, QP), 4, np.int32)
+    t = np.full((JP, TP), 4, np.int32)
+    qlen = np.zeros(JP, np.int32)
+    tlen = np.zeros(JP, np.int32)
     for i, (qi, ti) in enumerate(jobs):
         q[i, :len(qi)] = qi
         t[i, :len(ti)] = ti
@@ -135,12 +140,13 @@ def ksw_align_local_batch(jobs, opt: AlignConfig):
     out = [None] * J
     if hit:
         J2 = len(rev_jobs)
+        JP2 = _bucket(J2, 64)
         QP2 = _bucket(max(len(q2) for q2, _ in rev_jobs), 32)
         TP2 = _bucket(max(len(t2) for _, t2 in rev_jobs), 128)
-        q2 = np.full((J2, QP2), 4, np.int32)
-        t2 = np.full((J2, TP2), 4, np.int32)
-        ql2 = np.zeros(J2, np.int32)
-        tl2 = np.zeros(J2, np.int32)
+        q2 = np.full((JP2, QP2), 4, np.int32)
+        t2 = np.full((JP2, TP2), 4, np.int32)
+        ql2 = np.zeros(JP2, np.int32)
+        tl2 = np.zeros(JP2, np.int32)
         for k, (qk, tk) in enumerate(rev_jobs):
             q2[k, :len(qk)] = qk
             t2[k, :len(tk)] = tk

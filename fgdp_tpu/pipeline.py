@@ -32,13 +32,14 @@ def device_align(dfm: DeviceFMIndex, dref: DeviceReference, codes, lens,
 
     `salt`: optional int32 array whose SHAPE perturbs the compiled
     program (its runtime value is all-zeros and only feeds a
-    never-true overflow term). The axon relay loses track of loaded
-    executables when several coexist in one process (re-execution
-    then fails with INVALID_ARGUMENT "TPU backend error" — empirically
-    pairs whose 64-bit launch keys agree mod 8 conflict, see
-    BASELINE.md "relay executable-eviction bug"); bumping the salt
-    length re-jits to a fresh fingerprint, which re-registers the
-    program. Aligner drives this via _relaunch_salt."""
+    never-true overflow term) — the recovery lever for the jax
+    shared-constant dispatch conflation documented in BASELINE.md
+    "Device-program isolation": on an INVALID_ARGUMENT execution
+    failure the Aligner bumps the salt and re-jits to a fresh program
+    identity."""
+    # codes may arrive int8 (the upload is 4x narrower through the
+    # relay link; _device_regs_async sends int8) — widen on device
+    codes = codes.astype(jnp.int32)
     seeds = collect_seeds(dfm, dref, codes, lens, active, opt,
                           max_seeds=shapes.max_smems, prev_cap=20,
                           scale=shapes.seed_scale,
@@ -117,6 +118,111 @@ def compact_regs(regs: "extendmod.AlnRegBatch", k: int):
     return regs._replace(overflow=regs.overflow | (counts > k), **fields)
 
 
+# reg-batch wire format: every AlnRegBatch field packed into ONE int32
+# device array. The relay charges ~28 ms of fixed cost per fetched
+# array on top of ~26 MB/s of bandwidth (measured round 5: fetching the
+# 14 reg fields cost 389 ms/batch vs 67 ms for one array of the same
+# bytes), so the device->host sync ships a single buffer.
+_PACK_I32 = ("rid", "rb", "re")
+_PACK_I16 = ("qb", "qe", "score", "truesc", "sw_w", "seedcov",
+             "seedlen0")
+
+
+def pack_regs(regs, cap_per_read: int = 4) -> jax.Array:
+    """AlnRegBatch -> one flat int32[1 + 2B + 7*CAP] wire buffer.
+
+    Only VALID reg slots ship (typical reads carry 1-3 of the E=16
+    transfer slots, so padded [B, E] fields were ~4x dead bytes):
+    slots compact order-preservingly into CAP = cap_per_read * B rows
+    of 7 words (rid, rb, re, qb|qe, score|truesc, sw_w|seedcov,
+    seedlen0). Header: word 0 = E; per read, one word packing
+    (count | overflow<<16 | ovf_seed<<17) and one frac_rep bitcast.
+    Reads whose slots fall past CAP flag overflow (escalation re-runs
+    them, like every other static cap)."""
+    B, E = regs.valid.shape
+    CAP = cap_per_read * B
+    fv = regs.valid.reshape(-1)
+    key = jnp.where(fv, jnp.arange(B * E, dtype=jnp.int32),
+                    jnp.int32(B * E))
+    l_src = jax.lax.sort(key)[:CAP]
+    l_on = l_src < B * E
+    src = jnp.where(l_on, l_src, 0)
+    counts = regs.valid.astype(jnp.int32).sum(axis=1)
+    csum = jnp.cumsum(counts)
+    kept = jnp.minimum(counts,
+                       jnp.maximum(jnp.int32(CAP) - (csum - counts), 0))
+    cap_ovf = kept < counts
+
+    i16 = [getattr(regs, f).astype(jnp.int32).reshape(-1)
+           for f in _PACK_I16]
+    cols = [regs.rid.astype(jnp.int32).reshape(-1),
+            regs.rb.astype(jnp.int32).reshape(-1),
+            regs.re.astype(jnp.int32).reshape(-1),
+            (i16[0] & 0xffff) | (i16[1] << 16),
+            (i16[2] & 0xffff) | (i16[3] << 16),
+            (i16[4] & 0xffff) | (i16[5] << 16),
+            i16[6] & 0xffff]
+    tbl = jnp.stack(cols, axis=1)            # [B*E, 7]
+    payload = jnp.where(l_on[:, None], tbl[src], 0)
+    ovf = regs.overflow | cap_ovf
+    hdr = jnp.stack(
+        [kept | (ovf.astype(jnp.int32) << 16)
+         | (regs.ovf_seed.astype(jnp.int32) << 17),
+         jax.lax.bitcast_convert_type(
+             regs.frac_rep.astype(jnp.float32), jnp.int32)], axis=1)
+    return jnp.concatenate([jnp.asarray([E, B], jnp.int32),
+                            hdr.reshape(-1), payload.reshape(-1)])
+
+
+def unpack_regs(buf: np.ndarray) -> dict:
+    """Inverse of pack_regs -> {field: np array} with [B, E] layouts
+    matching AlnRegBatch._asdict() (int16 fields upcast to int32;
+    invalid slots zero)."""
+    buf = np.ascontiguousarray(buf)
+    E, B = int(buf[0]), int(buf[1])
+    hdr = buf[2:2 + 2 * B].reshape(B, 2)
+    payload = buf[2 + 2 * B:].reshape(-1, 7)
+    counts = hdr[:, 0] & 0xffff
+    out = {"overflow": (hdr[:, 0] & (1 << 16)) != 0,
+           "ovf_seed": (hdr[:, 0] & (1 << 17)) != 0,
+           "frac_rep": hdr[:, 1].view(np.float32)}
+    valid = np.arange(E, dtype=np.int32)[None, :] < counts[:, None]
+    out["valid"] = valid
+    offs = np.cumsum(counts) - counts
+    rows = np.flatnonzero(valid.reshape(-1))
+    b_of = rows // E
+    e_of = rows % E
+    src = offs[b_of] + e_of
+    half = payload.astype(np.int32).view(np.int16).reshape(-1, 14)
+    names_i16 = dict(zip(_PACK_I16, (6, 7, 8, 9, 10, 11, 12)))
+    for i, f in enumerate(_PACK_I32):
+        a = np.zeros((B, E), np.int32)
+        a.reshape(-1)[rows] = payload[src, i]
+        out[f] = a
+    for f, col in names_i16.items():
+        a = np.zeros((B, E), np.int32)
+        a.reshape(-1)[rows] = half[src, col].astype(np.int32)
+        out[f] = a
+    return out
+
+
+def device_align_packed(dfm, dref, codes, lens, active, opt, shapes,
+                        lcp_tree=None, lcp_isa=None, salt=None):
+    """device_align + single-buffer wire packing (see pack_regs).
+
+    Escalated programs (any widened shape) ship at full per-read width:
+    their batches are repeat-dense by construction, so the primary's
+    6-slots-per-read average would re-flag them in a loop; primary
+    batches average 1-3 valid regs/read, so cap 6 is generous there."""
+    esc = (shapes.seed_scale > 1 or shapes.k2_scale > 1
+           or shapes.jobs_pool_per_read > 0)
+    cap = shapes.transfer_regs if esc else 6
+    return pack_regs(device_align(dfm, dref, codes, lens, active,
+                                  opt=opt, shapes=shapes,
+                                  lcp_tree=lcp_tree, lcp_isa=lcp_isa,
+                                  salt=salt), cap_per_read=cap)
+
+
 class Aligner:
     """End-to-end single-end aligner over one reference."""
 
@@ -148,7 +254,7 @@ class Aligner:
         import dataclasses as _dc
         self._dev_opt = _dc.replace(self.opt, output_all=False)
         self._fn = jax.jit(functools.partial(
-            device_align, opt=self._dev_opt, shapes=self.shapes))
+            device_align_packed, opt=self._dev_opt, shapes=self.shapes))
         self._esc_fns = {}        # escalation level -> jitted program
         self._salts = {}          # program key -> relay-loss salt level
         self._warm = False
@@ -217,11 +323,13 @@ class Aligner:
 
         B = len(seq_codes)
         L = self.shapes.read_len
-        codes = np.full((B, L), 4, np.int32)
+        # int8 wire format: 4x fewer upload bytes on the relay link
+        # (device_align widens to int32 on arrival)
+        codes = np.full((B, L), 4, np.int8)
         lens = np.zeros(B, np.int32)
         for i, s in enumerate(seq_codes):
             n = min(len(s), L)
-            codes[i, :n] = np.asarray(s[:n], np.int32)
+            codes[i, :n] = np.asarray(s[:n], np.int8)
             lens[i] = n
         # first call compiles; report it apart from steady-state device
         # time (display_stats taxonomy: MEM_COLLECT+MEM_ALN2 are fused in
@@ -248,14 +356,14 @@ class Aligner:
                           f"re-jitting with salt "
                           f"{self._salts['primary']}", file=sys.stderr)
         self._warm = True
-        # start the device->host copies now: they complete behind the
+        # start the device->host copy now: it completes behind the
         # next batches' compute, so _regs_to_np's np.asarray is a wait,
-        # not a fresh round-trip (the relay link is the bottleneck)
-        for v in regs:
-            try:
-                v.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                break
+        # not a fresh round-trip (the relay link is the bottleneck;
+        # regs is ONE packed buffer — see pack_regs)
+        try:
+            regs.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return regs
 
     ESCALATE_LEVELS = 2
@@ -330,8 +438,7 @@ class Aligner:
                              jnp.asarray(lens), jnp.asarray(active),
                              lcp_tree=e_tree, lcp_isa=e_isa,
                              salt=self._salt_arr(esc_key))
-                return {k: np.asarray(v)
-                        for k, v in sub._asdict().items()}
+                return unpack_regs(np.asarray(sub))
             except Exception as e:  # noqa: BLE001
                 if attempt or not self._is_relay_loss(e):
                     raise
@@ -349,10 +456,7 @@ class Aligner:
         # int16 fields ride the wire narrow (compact_regs); the host
         # finalize code computes in plain int — upcast on arrival
         def conv(r):
-            return {k: (a := np.asarray(v),
-                        a.astype(np.int32) if a.dtype == np.int16
-                        else a)[1]
-                    for k, v in r._asdict().items()}
+            return unpack_regs(np.asarray(r))
         try:
             out = conv(regs)
         except Exception as e:  # noqa: BLE001 — relay loss recovery
@@ -427,7 +531,7 @@ class Aligner:
                   "cw": self._chain_wide_shapes}[flavor]
             esh = _dc.replace(mk(level), batch_reads=B_esc)
             fn = jax.jit(functools.partial(
-                device_align, opt=self._dev_opt, shapes=esh))
+                device_align_packed, opt=self._dev_opt, shapes=esh))
             self._esc_fns[(flavor, level, B_esc)] = fn
         return fn
 

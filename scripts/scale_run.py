@@ -100,6 +100,16 @@ def align(prefix, n_reads, batch=4096, paired=False):
     pool = FinalizePool(pref_path, aligner.opt, workers)
     out_bam = "/tmp/scale/out.bam"
     try:
+        # warm the ESCALATION LADDER at every bucket the campaign can
+        # hit (repeat-rich genomes escalate ~40% of reads; flushes run
+        # at B_esc in {128, 256, 512}) so no rung compile lands in the
+        # timed pass — the r4 campaign's 407 reads/s conflated ~10 min
+        # of lazy compiles with throughput (BASELINE.md)
+        t0 = time.time()
+        for b_esc in (128, 256, 512):
+            aligner.warm_escalation(B_esc=b_esc)
+        print(f"escalation ladder warm: {time.time()-t0:.1f}s",
+              file=sys.stderr)
         # warmup on a small slice for compile
         warm_fq = "/tmp/scale/warm.fq"
         os.system(f"head -{4*batch*4} {fq} > {warm_fq}")
@@ -107,6 +117,7 @@ def align(prefix, n_reads, batch=4096, paired=False):
                             out_bam, paired=False, pool=pool, depth=3)
         from fgdp_tpu.utils.profiling import PROF
         PROF.reset()
+        aligner.esc_reads = aligner.esc_calls = 0
         t0 = time.time()
         n, (nrec, ndup) = stream_fastq_to_bam(
             aligner, _read_batches([fq], batch), out_bam,
