@@ -336,29 +336,18 @@ def raw_mapq(diff, a):
     return int(6.02 * diff / a + 0.499)
 
 
-def sam_pe(opt: AlignConfig, pref, pes, read_id, names, codes_pair,
-           quals_pair, regs_pair, rescue_done=False):
-    """mem_sam_pe (bwamem_pair.cpp:354-552): mate rescue, pairing, pair
-    MAPQ, SAM for both ends. regs_pair: two score-sorted reg lists (raw,
-    pre mark_primary). rescue_done skips the per-pair rescue loop when
-    the batch already ran rescue_all. Returns (lines0, lines1)."""
-    # mate rescue around near-best hits of the other end
-    if not rescue_done:   # MEM_F_NO_RESCUE off by default
-        for i in (0, 1):
-            if not regs_pair[i]:
-                continue
-            best = regs_pair[i][0]["score"]
-            cand = [r for r in regs_pair[i]
-                    if r["score"] >= best - opt.pen_unpaired]
-            for j, anchor in enumerate(cand):
-                if j >= opt.max_matesw:
-                    break
-                matesw(opt, pref, pes, anchor, codes_pair[1 - i],
-                       regs_pair[1 - i])
+def sam_pe_plan(opt: AlignConfig, pref, pes, read_id, a):
+    """Selection half of mem_sam_pe (bwamem_pair.cpp:354-527): primary
+    marking, pairing, pair-MAPQ. Mutates the reg dicts exactly like
+    sam_pe's first half; performs NO reg2aln (the CIGAR DP), so a
+    batch driver can plan every pair first and run one batched DP
+    (finalize.reg2aln_batch — the SE path's move; scalar per-reg DP
+    measured 5.8 s of a 4096-read PE batch finalize).
 
-    n_pri = [finalize.mark_primary(opt, regs_pair[0], read_id * 2),
-             finalize.mark_primary(opt, regs_pair[1], read_id * 2 + 1)]
-    a = regs_pair
+    Returns {"mode": "paired", "z", "q_se", "extra_flag"} or
+    {"mode": "unpaired", "which", "extra_flag", "n_pri"}."""
+    n_pri = [finalize.mark_primary(opt, a[0], read_id * 2),
+             finalize.mark_primary(opt, a[1], read_id * 2 + 1)]
     extra_flag = 1
 
     o = 0
@@ -396,41 +385,90 @@ def sam_pe(opt: AlignConfig, pref, pes, read_id, names, codes_pair,
                 z = [0, 0]
                 q_se = [finalize.approx_mapq(opt, a[0][0]),
                         finalize.approx_mapq(opt, a[1][0])]
-            h = [None, None]
-            for i in (0, 1):
-                h[i] = finalize.reg2aln(pref, opt, codes_pair[i], a[i][z[i]])
-                h[i]["mapq"] = q_se[i]
-                h[i]["flag"] |= (0x40 << i) | extra_flag
-            lines = ([], [])
-            for i in (0, 1):
-                lines[i].append(finalize.aln2sam(
-                    pref, opt, names[i], codes_pair[i], quals_pair[i],
-                    [h[i]], 0, mate=h[1 - i]))
-            return lines
+            return dict(mode="paired", z=z, q_se=q_se,
+                        extra_flag=extra_flag)
 
-    # no_pairing (bwamem_pair.cpp:528-552)
-    h = [None, None]
+    # no_pairing (bwamem_pair.cpp:528-552) — anchor choice + the
+    # properly-paired heuristic flag (rid equality needs no DP)
+    which = [None, None]
     for i in (0, 1):
-        which = None
         if a[i]:
             if a[i][0]["score"] >= opt.T:
-                which = 0
+                which[i] = 0
             elif n_pri[i] < len(a[i]) and \
                     a[i][n_pri[i]]["score"] >= opt.T:
-                which = n_pri[i]
-        h[i] = finalize.reg2aln(pref, opt, codes_pair[i],
-                                a[i][which] if which is not None else None)
-    if h[0]["rid"] == h[1]["rid"] and h[0]["rid"] >= 0 and a[0] and a[1]:
+                which[i] = n_pri[i]
+    rid = [a[i][which[i]]["rid"] if which[i] is not None else -1
+           for i in (0, 1)]
+    if rid[0] == rid[1] and rid[0] >= 0 and a[0] and a[1]:
         d, dist = infer_dir(pref.l_pac, a[0][0]["rb"], a[1][0]["rb"])
         if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
             extra_flag |= 2
+    return dict(mode="unpaired", which=which, extra_flag=extra_flag)
+
+
+def sam_pe_emit(opt: AlignConfig, pref, plan, read_id, names, codes_pair,
+                quals_pair, a, aln_of=None, alns_by_k=(None, None)):
+    """Emission half of mem_sam_pe: reg2aln + SAM text per the plan.
+    aln_of(i, k): alignment of end i's reg k (k None = unmapped);
+    defaults to the scalar reg2aln. alns_by_k: optional per-end
+    {reg_idx: aln} caches forwarded to reg2sam (unpaired mode)."""
+    if aln_of is None:
+        def aln_of(i, k):
+            return finalize.reg2aln(pref, opt, codes_pair[i],
+                                    a[i][k] if k is not None else None)
+
+    if plan["mode"] == "paired":
+        z, q_se = plan["z"], plan["q_se"]
+        h = [None, None]
+        for i in (0, 1):
+            h[i] = aln_of(i, z[i])
+            h[i]["mapq"] = q_se[i]
+            h[i]["flag"] |= (0x40 << i) | plan["extra_flag"]
+        lines = ([], [])
+        for i in (0, 1):
+            lines[i].append(finalize.aln2sam(
+                pref, opt, names[i], codes_pair[i], quals_pair[i],
+                [h[i]], 0, mate=h[1 - i]))
+        return lines
+
+    which = plan["which"]
+    extra_flag = plan["extra_flag"]
+    h = [aln_of(0, which[0]), aln_of(1, which[1])]
     lines0 = finalize.reg2sam(pref, opt, names[0], codes_pair[0],
                               quals_pair[0], a[0], read_id,
-                              extra_flag=0x41 | extra_flag, mate=h[1])
+                              extra_flag=0x41 | extra_flag, mate=h[1],
+                              alns_by_k=alns_by_k[0])
     lines1 = finalize.reg2sam(pref, opt, names[1], codes_pair[1],
                               quals_pair[1], a[1], read_id,
-                              extra_flag=0x81 | extra_flag, mate=h[0])
+                              extra_flag=0x81 | extra_flag, mate=h[0],
+                              alns_by_k=alns_by_k[1])
     return lines0, lines1
+
+
+def sam_pe(opt: AlignConfig, pref, pes, read_id, names, codes_pair,
+           quals_pair, regs_pair, rescue_done=False):
+    """mem_sam_pe (bwamem_pair.cpp:354-552): mate rescue, pairing, pair
+    MAPQ, SAM for both ends. regs_pair: two score-sorted reg lists (raw,
+    pre mark_primary). rescue_done skips the per-pair rescue loop when
+    the batch already ran rescue_all. Returns (lines0, lines1)."""
+    # mate rescue around near-best hits of the other end
+    if not rescue_done:   # MEM_F_NO_RESCUE off by default
+        for i in (0, 1):
+            if not regs_pair[i]:
+                continue
+            best = regs_pair[i][0]["score"]
+            cand = [r for r in regs_pair[i]
+                    if r["score"] >= best - opt.pen_unpaired]
+            for j, anchor in enumerate(cand):
+                if j >= opt.max_matesw:
+                    break
+                matesw(opt, pref, pes, anchor, codes_pair[1 - i],
+                       regs_pair[1 - i])
+
+    plan = sam_pe_plan(opt, pref, pes, read_id, regs_pair)
+    return sam_pe_emit(opt, pref, plan, read_id, names, codes_pair,
+                       quals_pair, regs_pair)
 
 
 def mem_pair(opt: AlignConfig, pref, pes, regs_pair, read_id, n_pri):

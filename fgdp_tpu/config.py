@@ -124,6 +124,9 @@ class BatchShapes:
     max_seeds: int = 256         # seed buffer slots per read (after SA expansion)
     max_chains: int = 64         # chain slots per read
     max_regs: int = 48           # extension jobs / alignment regions per read
+    # flat-wire valid-reg budget, average slots/read (pipeline.pack_regs);
+    # 0 = escalated full width (transfer_regs)
+    pack_cap: int = 6
     # device->host transfer width: regs are compacted valid-first on
     # device and only this many columns cross the (slow) PCIe/relay
     # link; a read with more valid regs sets overflow and rides the
@@ -132,6 +135,21 @@ class BatchShapes:
     # SW extension ref-window cap: must cover read_len + 2*cal_max_gap cap
     # (= w<<1, bwamem.cpp:75); 151 + 200 rounded up
     max_ext_ref: int = 368
+
+    @classmethod
+    def repeat_rich(cls, **kw):
+        """Capacity profile for Alu-dense / real-genome workloads (the
+        bwa `-x` profile idea applied to SPMD capacities): the flat
+        seed-expansion job pool is the dominant primary-pass overflow
+        cause on the 60 Mb chr20-class campaign genome (measured r5:
+        jobs_pool 32->64 cut the escalating tail 22.4% -> 13.2%;
+        + chains 96 + transfer 32 -> 9.6% at ~20% primary-pass cost).
+        Uniform workloads (the 500 kb headline) keep the narrower
+        defaults — ~0.02% of their reads escalate either way."""
+        base = dict(jobs_pool_per_read=64, max_chains=96,
+                    transfer_regs=32, pack_cap=8)
+        base.update(kw)
+        return cls(**base)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,17 +88,22 @@ class ShardedAligner:
 
     def __init__(self, pref: PackedReference, n_shards: int = 2,
                  opt: AlignConfig | None = None,
-                 shapes: BatchShapes | None = None, lcp=True):
+                 shapes: BatchShapes | None = None, lcp=True,
+                 shard_fms=None):
+        """shard_fms: optional pre-built per-shard FMIndex list (human-
+        scale builds run SA-IS in parallel worker processes and hand
+        the artifacts in — scripts/bigindex_run.py)."""
         self.pref = pref                      # global (finalize side)
         self.opt = opt or AlignConfig()
         self.shapes = shapes or BatchShapes()
         self.groups = partition_contigs(pref.lens, n_shards)
         self.shards = []
-        for (lo, hi) in self.groups:
+        for s, (lo, hi) in enumerate(self.groups):
             sp = slice_reference(pref, lo, hi)
             assert 2 * sp.l_pac < 2**31, \
                 "shard text exceeds int32 — raise n_shards"
-            fm = FMIndex.build(sp.codes)
+            fm = shard_fms[s] if shard_fms is not None \
+                else FMIndex.build(sp.codes)
             self.shards.append(Aligner(sp, fm, opt=self.opt,
                                        shapes=self.shapes, lcp=lcp))
 

@@ -214,9 +214,7 @@ def device_align_packed(dfm, dref, codes, lens, active, opt, shapes,
     their batches are repeat-dense by construction, so the primary's
     6-slots-per-read average would re-flag them in a loop; primary
     batches average 1-3 valid regs/read, so cap 6 is generous there."""
-    esc = (shapes.seed_scale > 1 or shapes.k2_scale > 1
-           or shapes.jobs_pool_per_read > 0)
-    cap = shapes.transfer_regs if esc else 6
+    cap = shapes.pack_cap or shapes.transfer_regs
     return pack_regs(device_align(dfm, dref, codes, lens, active,
                                   opt=opt, shapes=shapes,
                                   lcp_tree=lcp_tree, lcp_isa=lcp_isa,
@@ -484,7 +482,7 @@ class Aligner:
                            max_chains=s.max_chains * f,
                            max_regs=s.max_regs * f,
                            transfer_regs=s.transfer_regs * f,
-                           seed_scale=s.seed_scale * f)
+                           pack_cap=0, seed_scale=s.seed_scale * f)
 
     def _k2_wide_shapes(self, level: int):
         """Targeted escalation for seed-stage overflow, which on
@@ -502,6 +500,7 @@ class Aligner:
                            max_chains=s.max_chains * f,
                            max_regs=s.max_regs * f,
                            transfer_regs=s.transfer_regs * f,
+                           pack_cap=0,
                            jobs_pool_per_read=s.max_seeds * 2 * f,
                            ext_jobs_per_read=6 * f)
 
@@ -518,6 +517,7 @@ class Aligner:
                            max_chains=s.max_chains * f,
                            max_regs=s.max_regs * f,
                            transfer_regs=s.transfer_regs * f,
+                           pack_cap=0,
                            jobs_pool_per_read=s.max_seeds * 2 * f,
                            ext_jobs_per_read=6 * f)
 
@@ -840,17 +840,56 @@ def finalize_pe_batch(pref, opt, names, seq_codes, quals, regs_np, id0):
     codes_pairs = [(np.asarray(seq_codes[2 * i], np.int64),
                     np.asarray(seq_codes[2 * i + 1], np.int64))
                    for i in range(B // 2)]
-    # batched mate rescue (kswv analogue) across the whole batch, then
-    # per-pair pairing/SAM with rescue already applied
+    # batched mate rescue (kswv analogue) across the whole batch
     pairmod.rescue_all(opt, pref, pes, reg_pairs, codes_pairs)
+    # plan every pair first, then ONE batched reg2aln DP over all
+    # selected regs (the SE path's batching; the scalar per-reg DP
+    # measured 5.8 s of a 4096-read batch = ~85% of PE finalize)
+    plans = [pairmod.sam_pe_plan(opt, pref, pes, id0 + i,
+                                 list(reg_pairs[i]))
+             for i in range(B // 2)]
+    jobs, jkeys = [], {}
+    for i, plan in enumerate(plans):
+        a = reg_pairs[i]
+        if plan["mode"] == "paired":
+            want = [(e, plan["z"][e]) for e in (0, 1)]
+        else:
+            want = [(e, plan["which"][e]) for e in (0, 1)
+                    if plan["which"][e] is not None]
+            want += [(e, k) for e in (0, 1)
+                     for k in finalize.selected_regs(opt, a[e])]
+        for e, k in want:
+            if (i, e, k) not in jkeys:
+                jkeys[(i, e, k)] = len(jobs)
+                jobs.append((codes_pairs[i][e], a[e][k]))
+    alns = finalize.reg2aln_batch(pref, opt, jobs) if jobs else []
+    per_pair = {}
+    for (i, e, k), j in jkeys.items():
+        per_pair.setdefault(i, ({}, {}))[e][k] = j
     out = []
-    for i in range(B // 2):
+    for i, plan in enumerate(plans):
+        a = reg_pairs[i]
+        pj = per_pair.get(i, ({}, {}))
+
+        def aln_of(e, k, i=i, pj=pj):
+            if k is None:
+                return finalize.reg2aln(pref, opt, codes_pairs[i][e],
+                                        None)
+            j = pj[e].get(k)
+            # reg2aln mutates nothing, but aln dicts are mutated by the
+            # emitters (flags/mapq/xa) — hand each consumer a copy
+            return dict(alns[j]) if j is not None else finalize.reg2aln(
+                pref, opt, codes_pairs[i][e], a[e][k])
+
+        maps = ({k: dict(alns[j]) for k, j in pj[0].items()},
+                {k: dict(alns[j]) for k, j in pj[1].items()})
         q1 = quals[2 * i] if quals else None
         q2 = quals[2 * i + 1] if quals else None
-        l0, l1 = pairmod.sam_pe(
-            opt, pref, pes, id0 + i,
+        l0, l1 = pairmod.sam_pe_emit(
+            opt, pref, plan, id0 + i,
             (names[2 * i], names[2 * i + 1]), codes_pairs[i],
-            (q1, q2), list(reg_pairs[i]), rescue_done=True)
+            (q1, q2), list(reg_pairs[i]), aln_of=aln_of,
+            alns_by_k=maps)
         out.extend(l0)
         out.extend(l1)
     return out
