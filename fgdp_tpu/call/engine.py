@@ -560,9 +560,13 @@ def _prepare_region_impl(ref, cfg, cnn, reg, t_reads, n_reads):
 _REGION_CTX = {}
 
 
-def _region_worker_init(ref, cfg, cnn_path):
+def _region_worker_init(ref, cfg, cnn_path, contig="", emission=None,
+                        normal_odds=None):
     _REGION_CTX["ref"] = ref
     _REGION_CTX["cfg"] = cfg
+    _REGION_CTX["contig"] = contig
+    _REGION_CTX["emission"] = emission
+    _REGION_CTX["normal_odds"] = normal_odds
     cnn = None
     if cnn_path:
         from .cnn_filter import CnnFilter
@@ -574,6 +578,14 @@ def _region_worker_prepare(reg, t_reads, n_reads):
     return _prepare_region_impl(_REGION_CTX["ref"], _REGION_CTX["cfg"],
                                 _REGION_CTX["cnn"], reg, t_reads,
                                 n_reads)
+
+
+def _region_worker_finish(args):
+    prep, t_lik, n_lik = args
+    return _finish_region_impl(_REGION_CTX["ref"], _REGION_CTX["contig"],
+                               _REGION_CTX["emission"],
+                               _REGION_CTX["normal_odds"], prep,
+                               t_lik, n_lik)
 
 
 class Mutect2Engine:
@@ -615,7 +627,8 @@ class Mutect2Engine:
                 self.region_workers,
                 mp_context=mp.get_context("spawn"),
                 initializer=_region_worker_init,
-                initargs=(self.ref, self.cfg, self._cnn_path))
+                initargs=(self.ref, self.cfg, self._cnn_path,
+                          self.contig, self.emission, self.normal_odds))
         return self._region_pool
 
     def close(self):
@@ -666,7 +679,26 @@ class Mutect2Engine:
         pending = collections.deque()
         pool = self._get_region_pool()
         prep_q = collections.deque()
+        fin_q = collections.deque()
         AHEAD = max(2 * self.region_workers, 1)
+
+        def retire(prep, futs):
+            # pooled: the main thread only RESOLVES the device matrices;
+            # genotyping/annotation fan out to the workers (the
+            # reference's division of labor — threads do region work,
+            # the shared queues carry PairHMM, main.cpp:367-423).
+            # Serial _finish_region measured ~60% of pooled region time
+            # in round 4's 1.3x-speedup profile.
+            if pool is None:
+                calls.extend(self._finish_region(prep, futs))
+                return
+            t_fut, n_fut = futs
+            t_lik = t_fut()
+            n_lik = n_fut() if n_fut is not None else None
+            fin_q.append(pool.submit(_region_worker_finish,
+                                     (prep, t_lik, n_lik)))
+            while fin_q and fin_q[0].done():
+                calls.extend(fin_q.popleft().result())
 
         def drain(force):
             while prep_q and (force or len(prep_q) > AHEAD
@@ -675,7 +707,7 @@ class Mutect2Engine:
                 if prep is not None:
                     pending.append((prep, self._dispatch_region(prep)))
                 while len(pending) >= DEPTH:
-                    calls.extend(self._finish_region(*pending.popleft()))
+                    retire(*pending.popleft())
 
         for rstart, rend, t_index, n_index in windows:
             t_reads = t_index.span(rstart, rend)
@@ -710,10 +742,12 @@ class Mutect2Engine:
                 if prep is not None:
                     pending.append((prep, self._dispatch_region(prep)))
                 while len(pending) >= DEPTH:
-                    calls.extend(self._finish_region(*pending.popleft()))
+                    retire(*pending.popleft())
         drain(True)
         while pending:
-            calls.extend(self._finish_region(*pending.popleft()))
+            retire(*pending.popleft())
+        while fin_q:
+            calls.extend(fin_q.popleft().result())
         calls.sort(key=lambda c: c.pos)
         return calls
 
@@ -743,6 +777,21 @@ class Mutect2Engine:
 
     def _finish_region(self, prep, futs):
         t_fut, n_fut = futs
+        t_lik = t_fut()                               # [H, Rt] log10
+        n_lik = n_fut() if n_fut is not None else None
+        return _finish_region_impl(self.ref, self.contig, self.emission,
+                                   self.normal_odds, prep, t_lik, n_lik)
+
+
+def _finish_region_impl(ref, contig, emission, normal_odds, prep,
+                        t_lik, n_lik):
+    """Genotyping half of callRegion given the PairHMM matrices:
+    likelihood post-processing, realignment, somatic log-odds,
+    annotation, phasing (Mutect2Engine.cpp:223-246 semantics).
+    Module-level so region workers can run it — with the pool, the
+    main thread only drives the device (the reference's division of
+    labor, main.cpp:367-423)."""
+    if True:
         span = prep["span"]
         ref_seg = prep["ref_seg"]
         reg = prep["reg"]
@@ -752,8 +801,6 @@ class Mutect2Engine:
         hap_bases = prep["hap_bases"]
         hap_events = prep["hap_events"]
         all_events = prep["all_events"]
-        t_lik = t_fut()                               # [H, Rt] log10
-        n_lik = n_fut() if n_fut is not None else None
 
         # PairHMMLikelihoodCalculationEngine.cpp:93-94 post-processing:
         #  1. normalizeLikelihoods(qualToErrorProbLog10(45)): every
@@ -823,7 +870,7 @@ class Mutect2Engine:
             tm = genotype.marginalize_to_alleles(t_lik, has_alt, spans)
             tlod_ln = genotype.somatic_log_odds(tm)[0]
             tlod = tlod_ln / LOG10
-            if tlod <= self.emission:
+            if tlod <= emission:
                 continue
             nlod = None
             n_art_lod = None
@@ -838,14 +885,14 @@ class Mutect2Engine:
                 n_art_lod = -float(genotype.somatic_log_odds(nm)[0]) / LOG10
                 # germline-allele gate (.cpp:94-105): when the normal
                 # does NOT look hom-ref, skip the variant entirely
-                if nlod <= self.normal_odds:
+                if nlod <= normal_odds:
                     continue
             ann = _annotate_event(pos, ref_a, alt_a, tm, nm,
                                   ann_reads, n_ann_reads)
-            tr = _tandem_repeat_rpa(self.ref, pos, ref_a, alt_a)
+            tr = _tandem_repeat_rpa(ref, pos, ref_a, alt_a)
             site_lods.setdefault(pos, []).append(float(tlod))
             calls.append(VariantCall(
-                contig=self.contig, pos=pos, ref=ref_a, alt=alt_a,
+                contig=contig, pos=pos, ref=ref_a, alt=alt_a,
                 tlod=float(tlod), nlod=nlod,
                 filters=(),
                 n_artifact_lod=n_art_lod,

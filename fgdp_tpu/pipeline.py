@@ -334,7 +334,8 @@ class Aligner:
         # one device program here)
         phase = "MEM_DEVICE" if self._warm else "JIT_COMPILE"
         with PROF.phase(phase):
-            for attempt in (0, 1):
+            salted = 0
+            for attempt in range(4):
                 try:
                     regs = self._fn(self.dfm, self.dref,
                                     jnp.asarray(codes),
@@ -344,14 +345,21 @@ class Aligner:
                                     salt=self._salt_arr("primary"))
                     break
                 except Exception as e:  # noqa: BLE001
-                    if attempt or not self._is_relay_loss(e):
-                        raise
                     import sys
+                    if self._is_transient(e) and attempt < 3:
+                        import time as _t
+                        print(f"[fgdp] transient relay error on the "
+                              f"align dispatch; retrying: "
+                              f"{str(e)[:90]}", file=sys.stderr)
+                        _t.sleep(2.0)
+                        continue
+                    if salted or not self._is_relay_loss(e):
+                        raise
+                    salted = 1
                     self._salts["primary"] = \
                         self._salts.get("primary", 0) + 1
-                    print(f"[fgdp] align executable lost (relay "
-                          f"eviction / jit-variant conflation); "
-                          f"re-jitting with salt "
+                    print(f"[fgdp] align executable lost (jit-variant "
+                          f"conflation); re-jitting with salt "
                           f"{self._salts['primary']}", file=sys.stderr)
         self._warm = True
         # start the device->host copy now: it completes behind the
@@ -429,7 +437,8 @@ class Aligner:
         e_dfm, e_dref, e_tree, e_isa, e_dev = self._esc_ctx()
         cm = jax.default_device(e_dev) if e_dev is not None \
             else contextlib.nullcontext()
-        for attempt in (0, 1):
+        salted = 0
+        for attempt in range(4):
             try:
                 with cm:
                     sub = fn(e_dfm, e_dref, jnp.asarray(codes),
@@ -438,9 +447,16 @@ class Aligner:
                              salt=self._salt_arr(esc_key))
                 return unpack_regs(np.asarray(sub))
             except Exception as e:  # noqa: BLE001
-                if attempt or not self._is_relay_loss(e):
-                    raise
                 import sys
+                if self._is_transient(e) and attempt < 3:
+                    import time as _t
+                    print(f"[fgdp] transient relay error on {esc_key}; "
+                          f"retrying: {str(e)[:90]}", file=sys.stderr)
+                    _t.sleep(2.0)
+                    continue
+                if salted or not self._is_relay_loss(e):
+                    raise
+                salted = 1
                 self._salts[esc_key] = self._salts.get(esc_key, 0) + 1
                 print(f"[fgdp] relay lost escalated executable "
                       f"{esc_key}; re-jitting with salt "
@@ -449,6 +465,16 @@ class Aligner:
     @staticmethod
     def _is_relay_loss(e) -> bool:
         return "INVALID_ARGUMENT" in str(e)
+
+    @staticmethod
+    def _is_transient(e) -> bool:
+        """Relay/compile-server infra hiccups: retry the SAME program
+        (no salt bump) — e.g. 'INTERNAL: .../remote_compile: read body:
+        response body closed before all bytes were read' killed a
+        campaign mid-warm in round 5."""
+        msg = str(e)
+        return ("remote_compile" in msg or "response body closed" in msg
+                or "Socket closed" in msg or "UNAVAILABLE" in msg)
 
     def _regs_to_np(self, regs, seq_codes=None, raw_codes=None):
         # int16 fields ride the wire narrow (compact_regs); the host
@@ -535,7 +561,8 @@ class Aligner:
             self._esc_fns[(flavor, level, B_esc)] = fn
         return fn
 
-    def warm_escalation(self, B_esc: int = 128, levels=None):
+    def warm_escalation(self, B_esc: int = 128, levels=None,
+                        rungs=None):
         """Compile + run every escalation-ladder rung reachable from the
         primary program at the B_esc bucket.
 
@@ -549,12 +576,13 @@ class Aligner:
         latency-sensitive serving deployment) warms the rungs up front;
         the reference has no analogue because its per-read allocation
         never re-runs anything (bwamem.cpp:879-1128)."""
-        rungs = []
-        for level in range(1, self.ESCALATE_LEVELS + 1):
-            seed_fl = "k2w" if level == 1 else "full"
-            rungs += [(seed_fl, level), ("cw", level)]
-        if levels is not None:
-            rungs = [r for r in rungs if r[1] in levels]
+        if rungs is None:
+            rungs = []
+            for level in range(1, self.ESCALATE_LEVELS + 1):
+                seed_fl = "k2w" if level == 1 else "full"
+                rungs += [(seed_fl, level), ("cw", level)]
+            if levels is not None:
+                rungs = [r for r in rungs if r[1] in levels]
         L = self.shapes.read_len
         codes = np.zeros((B_esc, L), np.int32)
         lens = np.full(B_esc, L, np.int32)
@@ -608,12 +636,21 @@ class Aligner:
                     continue
                 # worker-mode rungs run on host cores: smaller buckets
                 # cut the per-flush CPU work ~4x at headline overflow
-                # counts (a handful of reads per 64k)
+                # counts (a handful of reads per 64k). On-device rungs
+                # batch BIG: the r5 campaign measured escalated reads at
+                # ~3.8 ms/read in 512-wide launches vs 0.07 ms/read for
+                # the primary — fuller launches amortize the widened
+                # program's fixed cost (cw carries ~70% of the tail and
+                # is the cheapest flavor, so it gets the largest cap).
                 B_floor = 32 if self._esc_mode == "worker" else 128
+                cap_fl = 512 if self._esc_mode == "worker" else \
+                    {"k2w": 1024, "cw": 2048, "full": 512}[flavor]
+                # NOTE: clamp only to pow2 buckets — clamping to the
+                # (arbitrary) flush length compiled one-off shapes like
+                # B_esc=1532 inside the r5 campaign's timed pass
                 B_esc = B_floor
-                while B_esc < min(len(sub_idx), 512):
+                while B_esc < min(len(sub_idx), cap_fl):
                     B_esc *= 2
-                B_esc = min(B_esc, max(B, B_floor))
                 for c0 in range(0, len(sub_idx), B_esc):
                     self.esc_calls += 1
                     chunk = sub_idx[c0:c0 + B_esc]

@@ -111,8 +111,17 @@ def align(prefix, n_reads, batch=4096, paired=False):
         # timed pass — the r4 campaign's 407 reads/s conflated ~10 min
         # of lazy compiles with throughput (BASELINE.md)
         t0 = time.time()
+        # L1 rungs at every bucket their big flushes use; L2 + tails
+        # only at the small buckets they are reached with
+        for b_esc in (128, 256, 512, 1024):
+            aligner.warm_escalation(B_esc=b_esc,
+                                    rungs=[("k2w", 1), ("cw", 1)])
+        aligner.warm_escalation(B_esc=2048, rungs=[("cw", 1)])
         for b_esc in (128, 256, 512):
-            aligner.warm_escalation(B_esc=b_esc)
+            aligner.warm_escalation(B_esc=b_esc,
+                                    rungs=[("full", 2), ("cw", 2)])
+        for b_esc in (1024, 2048):
+            aligner.warm_escalation(B_esc=b_esc, rungs=[("cw", 2)])
         print(f"escalation ladder warm: {time.time()-t0:.1f}s",
               file=sys.stderr)
         # warmup on a small slice for compile
@@ -120,6 +129,31 @@ def align(prefix, n_reads, batch=4096, paired=False):
         os.system(f"head -{4*batch*4} {fq} > {warm_fq}")
         stream_fastq_to_bam(aligner, _read_batches([warm_fq], batch),
                             out_bam, paired=False, pool=pool, depth=3)
+        # warm the SORTDUP kernels at the TIMED pass's pow2 record
+        # bucket (single-end records; the r5 campaign measured ~170 s
+        # of one-shot dupscan/sort compiles inside SORT_FINISH)
+        t0 = time.time()
+        from fgdp_tpu.sortdup.driver import sort_markdup_file
+        warm_sam = "/tmp/scale/warm_sort.sam"
+        ref_len = int(pref.lens[0])
+        rng_w = np.random.default_rng(1)
+        with open(warm_sam, "w") as f:
+            f.write("@HD\tVN:1.6\tSO:unsorted\n")
+            f.write(f"@SQ\tSN:{pref.names[0]}\tLN:{ref_len}\n")
+            seq, qual = "A" * 100, "I" * 100
+            done = 0
+            while done < n_reads + 64:
+                m = min(200_000, n_reads + 64 - done)
+                ps = rng_w.integers(1, ref_len - 200, m)
+                f.writelines(
+                    f"w{done+i}\t0\t{pref.names[0]}\t{int(p)}\t60\t"
+                    f"100M\t*\t0\t0\t{seq}\t{qual}\n"
+                    for i, p in enumerate(ps))
+                done += m
+        sort_markdup_file(warm_sam, "/tmp/scale/warm_sort.bam")
+        os.unlink(warm_sam)
+        print(f"sortdup shape warm: {time.time()-t0:.1f}s",
+              file=sys.stderr)
         from fgdp_tpu.utils.profiling import PROF
         PROF.reset()
         aligner.esc_reads = aligner.esc_calls = 0
