@@ -67,7 +67,8 @@ def main():
     from fgdp_tpu.index.reference import PackedReference
 
     pref = PackedReference.load(args.prefix + ".ref")
-    ref = pref.contig_codes(0)
+    off = int(pref.offsets[0])
+    ref = np.asarray(pref.codes[off:off + int(pref.lens[0])], np.uint8)
     n = len(ref)
     print(f"genome: {n} bp", file=sys.stderr)
 
